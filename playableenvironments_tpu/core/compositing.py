@@ -91,7 +91,8 @@ def integrate(
     integrated_features = jnp.sum(weights[..., None] * raw_features, axis=-2)
     depth = jnp.sum(weights * ray_positions_t, axis=-1)
     opacity = jnp.sum(weights, axis=-1)
-    disparity = 1.0 / jnp.clip(depth / opacity, min=1e-10)
+    # max(opacity, eps) guards fully-transparent rays (0/0 -> NaN).
+    disparity = 1.0 / jnp.clip(depth / jnp.clip(opacity, 1e-10, None), min=1e-10)
 
     integrated_divergence = jnp.mean(
         jax.lax.stop_gradient(alphas) * jnp.abs(ray_divergences), axis=-1

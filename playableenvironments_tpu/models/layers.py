@@ -173,29 +173,46 @@ def gumbel_softmax(
     return y_hard + y_soft - jax.lax.stop_gradient(y_soft)
 
 
+def avg_pool(x: jnp.ndarray, factor: int) -> jnp.ndarray:
+    """Non-overlapping average pooling over the two spatial dims of NHWC.
+
+    The window is clamped to the input extent so inputs smaller than the
+    factor collapse to size 1 instead of size 0 (which silently yields NaN
+    means downstream)."""
+    if factor == 1:
+        return x
+    wh = min(factor, x.shape[-3])
+    ww = min(factor, x.shape[-2])
+    return nn.avg_pool(x, (wh, ww), strides=(wh, ww))
+
+
 class ResidualBlock(nn.Module):
-    """Conv residual block with optional downsampling, matching the topology
-    used by the object encoders (model/layers/residual_block.py): two 3x3
-    convs + BN + ReLU, skip with 1x1 conv when shape changes."""
+    """Conv residual block, topology matching model/layers/residual_block.py:
+    conv3x3 -> avgpool(df) -> BN -> LeakyReLU(0.2) -> conv3x3 -> BN, with a
+    conv1x1 + avgpool + BN skip when shape changes; final activation optional.
+    NHWC (TPU-native layout; the reference uses NCHW)."""
 
     features: int
     downsample_factor: int = 1
+    drop_final_activation: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
-        strides = (self.downsample_factor, self.downsample_factor)
         residual = x
-        y = nn.Conv(self.features, (3, 3), strides=strides, use_bias=False)(x)
-        y = nn.BatchNorm(use_running_average=not train)(y)
-        y = nn.relu(y)
-        y = nn.Conv(self.features, (3, 3), use_bias=False)(y)
-        y = nn.BatchNorm(use_running_average=not train)(y)
-        if residual.shape[-1] != self.features or self.downsample_factor != 1:
-            residual = nn.Conv(
-                self.features, (1, 1), strides=strides, use_bias=False
-            )(residual)
-            residual = nn.BatchNorm(use_running_average=not train)(residual)
-        return nn.relu(y + residual)
+        y = nn.Conv(self.features, (3, 3), use_bias=False, name="conv1")(x)
+        y = avg_pool(y, self.downsample_factor)
+        y = nn.BatchNorm(use_running_average=not train, name="bn1")(y)
+        y = nn.leaky_relu(y, 0.2)
+        y = nn.Conv(self.features, (3, 3), use_bias=False, name="conv2")(y)
+        y = nn.BatchNorm(use_running_average=not train, name="bn2")(y)
+        if x.shape[-1] != self.features or self.downsample_factor != 1:
+            residual = nn.Conv(self.features, (1, 1), use_bias=False, name="skip_conv")(x)
+            residual = avg_pool(residual, self.downsample_factor)
+            residual = nn.BatchNorm(use_running_average=not train, name="skip_bn")(residual)
+        y = y + residual
+        if not self.drop_final_activation:
+            y = nn.leaky_relu(y, 0.2)
+        return y
 
 
 class SameBlock(nn.Module):

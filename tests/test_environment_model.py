@@ -1,0 +1,230 @@
+"""End-to-end tests for the EnvironmentModel orchestrator."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from playableenvironments_tpu.config import (
+    NerfMLPConfig,
+    ObjectEncoderConfig,
+    ObjectModelConfig,
+    ParameterEncoderConfig,
+    PositionalEncoderConfig,
+    RayBenderConfig,
+    SceneConfig,
+)
+from playableenvironments_tpu.render.environment_model import (
+    CameraParametersStorage,
+    EnvironmentModel,
+)
+from playableenvironments_tpu.scene.encoding import SceneEncoding
+
+B, T, C, H, W = 2, 2, 1, 16, 24
+N_OBJ = 2  # 1 static background + 1 dynamic player
+
+
+def tiny_scene():
+    background = ObjectModelConfig(
+        name="background",
+        bounding_box=((-10.0, 10.0), (-10.0, 10.0), (-1.0, 0.0)),
+        positions_count_coarse=4,
+        z_near_min=0.1,
+        z_far_max=50.0,
+        nerf=NerfMLPConfig(
+            layers_width=16, backbone_layers_count=2, output_features=3,
+            skip_layer_idx=1, position_encoder=PositionalEncoderConfig(octaves=2),
+        ),
+        bender=RayBenderConfig(kind="zeroed"),
+        style_features=8,
+        deformation_features=4,
+    )
+    player = ObjectModelConfig(
+        name="player",
+        bounding_box=((-0.5, 0.5), (-0.5, 0.5), (0.0, 2.0)),
+        positions_count_coarse=8,
+        z_near_min=0.1,
+        z_far_max=50.0,
+        nerf=NerfMLPConfig(
+            layers_width=16, backbone_layers_count=2, output_features=3,
+            skip_layer_idx=1, position_encoder=PositionalEncoderConfig(octaves=2),
+        ),
+        bender=RayBenderConfig(
+            kind="positional", layers_width=8, layers_count=2, skip_layer_idx=1,
+            position_encoder=PositionalEncoderConfig(octaves=2, num_steps=100),
+        ),
+        style_features=8,
+        deformation_features=4,
+    )
+    return SceneConfig(
+        object_models=(background, player),
+        parameter_encoders=(
+            ParameterEncoderConfig(kind="static", objects_count=1),
+            ParameterEncoderConfig(
+                kind="classic",
+                objects_count=1,
+                translation_range=((( -8.0, 8.0), (-8.0, 8.0), (0.01, 0.01)),),
+                rotation_range=(((0.0, 0.0), (0.0, 0.0), (0.0, 0.0)),),
+                zero_axis=2,
+            ),
+        ),
+        object_encoders=(
+            ObjectEncoderConfig(kind="v5", input_size=(8, 16), style_features=8,
+                                deformation_features=4),
+            ObjectEncoderConfig(kind="v4", input_size=(8, 8), style_features=8,
+                                deformation_features=4),
+        ),
+        static_object_models=1,
+        apply_activation=True,
+        sampling_weights=(0.6, 0.4),
+    )
+
+
+def batch_inputs():
+    observations = jnp.full((B, T, C, H, W, 3), 0.5)
+    camera_rotations = jnp.zeros((B, T, C, 3)).at[..., 0].set(-0.6)
+    camera_translations = jnp.zeros((B, T, C, 3)).at[..., 1].set(8.0).at[..., 2].set(10.0)
+    focals = jnp.full((B, T, C), 30.0)
+    boxes = jnp.broadcast_to(jnp.asarray([0.4, 0.3, 0.6, 0.7]), (B, T, C, 1, 4))
+    validity = jnp.ones((B, T, C, 1), dtype=bool)
+    frame_indexes = jnp.zeros((B, T), dtype=jnp.int32)
+    return (observations, camera_rotations, camera_translations, focals,
+            boxes, validity, frame_indexes)
+
+
+RNGS = {
+    "params": jax.random.PRNGKey(0),
+    "ray_sampling": jax.random.PRNGKey(1),
+    "sampling": jax.random.PRNGKey(2),
+    "alpha_noise": jax.random.PRNGKey(3),
+    "style_shuffle": jax.random.PRNGKey(4),
+}
+
+
+@pytest.fixture(scope="module")
+def model_and_vars():
+    model = EnvironmentModel(tiny_scene(), focal_length_multiplier=1.0)
+    variables = model.init(RNGS, *batch_inputs(), samples_per_image=12)
+    return model, variables
+
+
+def test_forward_from_observations_shapes(model_and_vars):
+    model, variables = model_and_vars
+    out, _ = model.apply(
+        variables, *batch_inputs(), samples_per_image=12, perturb=True,
+        rngs=RNGS, mutable=["batch_stats"],
+    )
+    n = 12
+    assert out["coarse"]["global"]["integrated_features"].shape == (B, T, C, n, 3)
+    assert out["observations"].shape == (B, T, C, n, 3)
+    assert out["positions"].shape == (B, T, C, n, 2)
+    assert out["ray_object_distances"].shape == (B, T, C, n, N_OBJ)
+    assert out["reconstructed_bounding_boxes"].shape == (B, T, C, N_OBJ, 4)
+    enc = out["scene_encoding"]
+    assert isinstance(enc, SceneEncoding)
+    assert enc.object_rotations.shape == (B, T, N_OBJ, 3)
+    assert enc.object_style.shape == (B, T, N_OBJ, 8)
+    assert enc.object_in_scene.shape == (B, T, N_OBJ)
+    # apply_activation -> features are sigmoid outputs in [0, 1]
+    feats = np.asarray(out["coarse"]["global"]["integrated_features"])
+    assert feats.min() >= 0.0 and feats.max() <= 1.0
+
+
+def test_scene_encoding_only(model_and_vars):
+    model, variables = model_and_vars
+    (enc, aux), _ = model.apply(
+        variables, *batch_inputs(), train=False,
+        method=EnvironmentModel.compute_scene_encoding,
+        rngs=RNGS, mutable=["batch_stats"],
+    )
+    # Static object pose at range midpoints (zeros); player on the ground.
+    np.testing.assert_allclose(np.asarray(enc.object_rotations[..., 0, :]), 0.0)
+    player_trans = np.asarray(enc.object_translations[..., 1, :])
+    np.testing.assert_allclose(player_trans[..., 2], 0.01, atol=1e-5)
+    assert np.all(np.asarray(enc.object_in_scene))
+    assert aux["reconstructed_bounding_boxes"].shape == (B, T, C, N_OBJ, 4)
+    boxes = np.asarray(aux["reconstructed_bounding_boxes"])
+    assert boxes.min() >= 0.0 and boxes.max() <= 1.0
+
+
+def test_render_frame_from_scene_encoding(model_and_vars):
+    model, variables = model_and_vars
+    (enc, _), _ = model.apply(
+        variables, *batch_inputs(), train=False,
+        method=EnvironmentModel.compute_scene_encoding,
+        rngs=RNGS, mutable=["batch_stats"],
+    )
+    out, _ = model.apply(
+        variables, enc, (H, W), patch_strides=[4], train=False,
+        method=EnvironmentModel.render_frame_from_scene_encoding,
+        rngs=RNGS, mutable=["batch_stats"],
+    )
+    n = (H // 4) * (W // 4)
+    assert out["coarse"]["global"]["integrated_features"].shape == (B, T, C, n, 3)
+
+
+def test_render_frame_tiled_matches_untiled(model_and_vars):
+    model, variables = model_and_vars
+    (enc, _), _ = model.apply(
+        variables, *batch_inputs(), train=False,
+        method=EnvironmentModel.compute_scene_encoding,
+        rngs=RNGS, mutable=["batch_stats"],
+    )
+    kwargs = dict(
+        image_size=(H, W), patch_strides=[4], train=False,
+        method=EnvironmentModel.render_frame_from_scene_encoding,
+        rngs=RNGS, mutable=["batch_stats"],
+    )
+    out_full, _ = model.apply(variables, enc, **kwargs)
+    out_tiled, _ = model.apply(variables, enc, ray_tile=8, **kwargs)
+    np.testing.assert_allclose(
+        np.asarray(out_full["coarse"]["global"]["integrated_features"]),
+        np.asarray(out_tiled["coarse"]["global"]["integrated_features"]),
+        atol=1e-5,
+    )
+
+
+def test_patch_sampling_path(model_and_vars):
+    model, variables = model_and_vars
+    out, _ = model.apply(
+        variables, *batch_inputs(), samples_per_image=144, patch_size=4,
+        patch_strides=[2, 4], perturb=True, shuffle_style=True,
+        rngs=RNGS, mutable=["batch_stats"],
+    )
+    n = 4 * 4 + 2 * 2  # strided patch sizes (4, 2)
+    assert out["coarse"]["global"]["integrated_features"].shape == (B, T, C, n, 3)
+
+
+def test_jit_forward(model_and_vars):
+    model, variables = model_and_vars
+
+    @functools.partial(jax.jit, static_argnames=("spi",))
+    def run(v, inputs, spi):
+        return model.apply(
+            v, *inputs, samples_per_image=spi, perturb=True,
+            rngs=RNGS, mutable=["batch_stats"],
+        )[0]["coarse"]["global"]["integrated_features"]
+
+    out = run(variables, batch_inputs(), 8)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_camera_parameters_storage():
+    storage = CameraParametersStorage(memory_size=10, cameras_count=2)
+    idx = jnp.asarray([[0, 3], [5, 9]])
+    variables = storage.init(jax.random.PRNGKey(0), idx)
+    rot, trans, focal = storage.apply(variables, idx, True)
+    assert rot.shape == (2, 2, 2, 3)
+    assert trans.shape == (2, 2, 2, 3)
+    assert focal.shape == (2, 2, 2)
+    np.testing.assert_allclose(np.asarray(rot), 0.0)  # zero-init
+    # Eval mode returns zeros even with nonzero parameters.
+    variables = jax.tree.map(lambda x: x + 1.0, variables)
+    rot_eval, trans_eval, _ = storage.apply(variables, idx, False)
+    np.testing.assert_allclose(np.asarray(rot_eval), 0.0)
+    rot_tr, trans_tr, focal_tr = storage.apply(variables, idx, True)
+    np.testing.assert_allclose(np.asarray(rot_tr), 1.0)
+    np.testing.assert_allclose(np.asarray(trans_tr), 10.0)
+    np.testing.assert_allclose(np.asarray(focal_tr), 1000.0)

@@ -1,0 +1,170 @@
+"""Benchmark: NeRF render throughput (rays/sec/chip) on real hardware.
+
+Measures the hot path — the composed multi-object volume render at the
+published tennis scale (8x256 AdaIN MLPs, 192 output features, 2 static
+background objects at 4 samples/ray + 2 players at 32 samples/ray = 72 MLP
+evaluations per ray; configs/tennis/193_...yaml:129,241) — and prints ONE
+JSON line for the driver.
+
+vs_baseline compares against an estimated PyTorch-reference throughput on an
+A100. The reference publishes no benchmark numbers (BASELINE.md), so the
+estimate is analytic: ~86 MFLOP/ray forward at this scale, with the reference
+fp32 eager pipeline (boolean-gather filtering, per-object Python loops,
+60-1200-ray host-side micro-batching) sustaining at most ~2 TFLOP/s on A100
+=> ~2.3e4 rays/s. The north-star target is 10x that (BASELINE.md).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+REFERENCE_A100_RAYS_PER_SEC = 2.3e4  # documented estimate, see module docstring
+
+
+def build_scene():
+    from playableenvironments_tpu.config import (
+        NerfMLPConfig,
+        ObjectEncoderConfig,
+        ObjectModelConfig,
+        ParameterEncoderConfig,
+        PositionalEncoderConfig,
+        RayBenderConfig,
+        SceneConfig,
+    )
+
+    def obj(name, box, samples, bender_kind):
+        bender = (
+            RayBenderConfig(
+                kind="positional", layers_width=128, layers_count=6,
+                skip_layer_idx=3,
+                position_encoder=PositionalEncoderConfig(octaves=6, num_steps=60000),
+            )
+            if bender_kind == "positional"
+            else RayBenderConfig(kind="zeroed")
+        )
+        return ObjectModelConfig(
+            name=name,
+            bounding_box=box,
+            positions_count_coarse=samples,
+            z_near_min=5.0,
+            z_far_max=70.0,
+            nerf=NerfMLPConfig(
+                layers_width=256, backbone_layers_count=8, output_features=192,
+                skip_layer_idx=4, position_encoder=PositionalEncoderConfig(octaves=10),
+            ),
+            bender=bender,
+            style_features=64,
+            deformation_features=32,
+        )
+
+    # The published tennis scene: background + backplate (static, 4 samples)
+    # and two players (dynamic, bent, 32 samples).
+    models = (
+        obj("background", ((-30.0, 30.0), (-40.0, 20.585), (-0.5, 0.0)), 4, "zeroed"),
+        obj("backplate", ((-30.0, 30.0), (0.0, 0.5), (0.0, 30.0)), 4, "zeroed"),
+        obj("player_1", ((-0.75, 0.75), (-0.5, 0.5), (0.0, 2.15)), 32, "positional"),
+        obj("player_2", ((-0.75, 0.75), (-0.5, 0.5), (0.0, 2.15)), 32, "positional"),
+    )
+    static_range = (((0.0, 0.0),) * 3,)
+    player_range = (((-7.5, 7.5), (-20.0, 0.0), (0.01, 0.01)),)
+    return SceneConfig(
+        object_models=models,
+        parameter_encoders=(
+            ParameterEncoderConfig(kind="static", objects_count=1,
+                                   translation_range=static_range,
+                                   rotation_range=static_range),
+            ParameterEncoderConfig(kind="static", objects_count=1,
+                                   translation_range=static_range,
+                                   rotation_range=static_range),
+            ParameterEncoderConfig(kind="classic", objects_count=1,
+                                   translation_range=player_range,
+                                   rotation_range=static_range),
+            ParameterEncoderConfig(kind="classic", objects_count=1,
+                                   translation_range=player_range,
+                                   rotation_range=static_range),
+        ),
+        object_encoders=(
+            ObjectEncoderConfig(kind="v5", input_size=(64, 256)),
+            ObjectEncoderConfig(kind="v5", input_size=(32, 256)),
+            ObjectEncoderConfig(kind="v4", input_size=(64, 64)),
+            ObjectEncoderConfig(kind="v4", input_size=(64, 64)),
+        ),
+        static_object_models=2,
+        apply_activation=False,
+        sampling_weights=(0.55, 0.15, 0.15, 0.15),
+    )
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from playableenvironments_tpu.core.transforms3d import (
+        euler_translation_to_matrix,
+        invert_rigid,
+    )
+    from playableenvironments_tpu.render.composer import SceneComposer
+
+    scene = build_scene()
+    composer = SceneComposer(scene)
+
+    rays = int(os.environ.get("BENCH_RAYS", 16384))
+    n_obj = 4
+
+    key = jax.random.PRNGKey(0)
+    origins = jnp.asarray([[0.0, -30.0, 10.0]])
+    directions = jax.random.normal(key, (1, rays, 3)) * jnp.asarray([0.3, 0.3, 0.05])
+    directions = directions + jnp.asarray([0.0, 1.0, -0.15])
+    normals = jnp.asarray([[0.0, 1.0, 0.0]])
+
+    rotations = jnp.zeros((1, n_obj, 3))
+    translations = jnp.zeros((1, n_obj, 3)).at[:, 2, 1].set(-5.0).at[:, 3, 1].set(-10.0)
+    o2w = euler_translation_to_matrix(rotations, translations)
+    w2o = invert_rigid(o2w)
+    style = jnp.ones((1, n_obj, 64)) * 0.1
+    deformation = jnp.ones((1, n_obj, 32)) * 0.1
+    in_scene = jnp.ones((1, n_obj), dtype=bool)
+
+    # jit the init: eager init dispatches each op separately (very slow over
+    # a tunneled TPU).
+    variables = jax.jit(composer.init)(
+        jax.random.PRNGKey(0),
+        origins, directions[:, :64], normals, w2o, style, deformation, in_scene,
+    )
+
+    @jax.jit
+    def render(v, dirs):
+        out = composer.apply(
+            v, origins, dirs, normals, w2o, style, deformation, in_scene,
+            use_running_average=True,
+        )
+        return out["coarse"]["global"]["integrated_features"]
+
+    # Warmup/compile.
+    jax.block_until_ready(render(variables, directions))
+
+    iters = int(os.environ.get("BENCH_ITERS", 10))
+    start = time.perf_counter()
+    for _ in range(iters):
+        result = render(variables, directions)
+    jax.block_until_ready(result)
+    elapsed = time.perf_counter() - start
+
+    rays_per_sec = rays * iters / elapsed
+    print(
+        json.dumps(
+            {
+                "metric": "nerf_render_rays_per_sec_per_chip",
+                "value": round(rays_per_sec, 1),
+                "unit": "rays/s",
+                "vs_baseline": round(rays_per_sec / REFERENCE_A100_RAYS_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,173 @@
+"""Windowed sampling over a directory of multicamera videos.
+
+Replaces dataset/video_dataset.py: a sample is `observations_count` frames
+spaced `skip_frames` apart, each a stack of `observation_stacking` past frames
+(video_dataset.py:141-196). `set_observations_count` re-derives the index
+space at runtime for phase-3 sequence-length annealing (58-71).
+
+The loader is host-side Python (decode + stack into numpy); `iterate_batches`
+provides shuffled epochs with a background prefetch thread — the TPU-side
+equivalent of the reference's DataLoader workers.
+"""
+
+from __future__ import annotations
+
+import os
+import queue
+import threading
+from typing import Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from playableenvironments_tpu.data.batching import Batch, collate
+from playableenvironments_tpu.data.video import MulticameraVideo
+
+
+class MulticameraVideoDataset:
+    def __init__(
+        self,
+        path: str,
+        observations_count: int,
+        skip_frames: int = 0,
+        observation_stacking: int = 1,
+        allowed_cameras: Optional[Sequence[int]] = None,
+        target_size: Optional[tuple] = None,
+    ):
+        """:param path: directory of multicamera video directories.
+        :param observations_count: frames per sample (T).
+        :param skip_frames: frames skipped between observations.
+        :param observation_stacking: past frames stacked per observation (K).
+        :param allowed_cameras: camera indices to expose (default: all).
+        :param target_size: optional (height, width) resize.
+        """
+        self.path = path
+        video_dirs = sorted(
+            d for d in os.listdir(path) if os.path.isdir(os.path.join(path, d))
+        )
+        if not video_dirs:
+            raise FileNotFoundError(f"no videos found under {path}")
+        self.videos = [
+            MulticameraVideo().load(os.path.join(path, d)) for d in video_dirs
+        ]
+        self.skip_frames = skip_frames
+        self.observation_stacking = observation_stacking
+        self.allowed_cameras = (
+            list(allowed_cameras)
+            if allowed_cameras is not None
+            else list(range(self.videos[0].cameras_count))
+        )
+        self.target_size = target_size
+        self.set_observations_count(observations_count)
+
+    def set_observations_count(self, observations_count: int):
+        """Re-derive the sample index space (video_dataset.py:58-71); used by
+        phase-3 sequence-length annealing mid-training."""
+        self.observations_count = observations_count
+        block = (self.skip_frames + 1) * (observations_count - 1) + 1
+        self._index = []
+        for video_idx, video in enumerate(self.videos):
+            usable = video.frames_count - block + 1
+            for start in range(max(usable, 0)):
+                self._index.append((video_idx, start))
+
+    def __len__(self) -> int:
+        return len(self._index)
+
+    def _resize(self, frame: np.ndarray) -> np.ndarray:
+        if self.target_size is None:
+            return frame
+        h, w = self.target_size
+        if frame.shape[:2] == (h, w):
+            return frame
+        from PIL import Image
+
+        img = Image.fromarray((frame * 255).astype(np.uint8))
+        return np.asarray(img.resize((w, h), Image.BILINEAR), np.float32) / 255.0
+
+    def __getitem__(self, idx: int) -> dict:
+        video_idx, start = self._index[idx]
+        video = self.videos[video_idx]
+        step = self.skip_frames + 1
+        frame_indexes = [start + i * step for i in range(self.observations_count)]
+
+        observations, rotations, translations, focals = [], [], [], []
+        boxes, validity = [], []
+        for frame_idx in frame_indexes:
+            per_camera_obs, per_camera_rot, per_camera_trans = [], [], []
+            per_camera_focal, per_camera_box, per_camera_valid = [], [], []
+            for camera_idx in self.allowed_cameras:
+                cam_video = video.videos[camera_idx]
+                # Stack the current frame with observation_stacking - 1 past
+                # frames along channels, most recent first
+                # (video_dataset.py:141-160).
+                stack = []
+                for s in range(self.observation_stacking):
+                    src = max(frame_idx - s, 0)
+                    stack.append(self._resize(cam_video.get_frame(src)))
+                per_camera_obs.append(np.concatenate(stack, axis=-1))
+                pose = cam_video.cameras[frame_idx]
+                per_camera_rot.append(np.asarray(pose.rotation, np.float32))
+                per_camera_trans.append(np.asarray(pose.translation, np.float32))
+                per_camera_focal.append(np.float32(cam_video.focals[frame_idx]))
+                # Disk layout is (4, O); in-memory convention is (O, 4).
+                per_camera_box.append(
+                    np.asarray(cam_video.bounding_boxes[frame_idx], np.float32).T
+                )
+                per_camera_valid.append(
+                    np.asarray(
+                        cam_video.bounding_boxes_validity[frame_idx], bool
+                    )
+                )
+            observations.append(np.stack(per_camera_obs))
+            rotations.append(np.stack(per_camera_rot))
+            translations.append(np.stack(per_camera_trans))
+            focals.append(np.stack(per_camera_focal))
+            boxes.append(np.stack(per_camera_box))
+            validity.append(np.stack(per_camera_valid))
+
+        return {
+            "observations": np.stack(observations),
+            "camera_rotations": np.stack(rotations),
+            "camera_translations": np.stack(translations),
+            "focals": np.stack(focals),
+            "bounding_boxes": np.stack(boxes),
+            "bounding_boxes_validity": np.stack(validity),
+            "global_frame_indexes": np.asarray(frame_indexes, np.int32),
+            "video_frame_indexes": np.asarray(frame_indexes, np.int32),
+            "video_index": video_idx,
+            "actions": np.asarray(
+                [video.videos[self.allowed_cameras[0]].actions[i] for i in frame_indexes],
+                np.int32,
+            ),
+        }
+
+    def iterate_batches(
+        self,
+        batch_size: int,
+        shuffle: bool = True,
+        seed: int = 0,
+        drop_last: bool = True,
+        prefetch: int = 2,
+    ) -> Iterator[Batch]:
+        """One shuffled epoch of fixed-size batches with background prefetch."""
+        order = np.arange(len(self))
+        if shuffle:
+            np.random.default_rng(seed).shuffle(order)
+        n_batches = len(order) // batch_size if drop_last else -(-len(order) // batch_size)
+        if n_batches == 0:
+            return
+
+        def producer(q):
+            for b in range(n_batches):
+                idxs = order[b * batch_size : (b + 1) * batch_size]
+                q.put(collate([self[int(i)] for i in idxs]))
+            q.put(None)
+
+        q: "queue.Queue" = queue.Queue(maxsize=prefetch)
+        thread = threading.Thread(target=producer, args=(q,), daemon=True)
+        thread.start()
+        while True:
+            batch = q.get()
+            if batch is None:
+                break
+            yield batch

@@ -1,0 +1,314 @@
+"""On-disk video format, byte-compatible with the reference datasets.
+
+A Video directory holds frames `00000.png, 00001.png, ...` plus pickled
+per-frame metadata lists (actions/rewards/metadata/dones/cameras/focals/
+bounding_boxes/bounding_box_validity, optional keypoints/object_poses/
+crop_region) — reference: dataset/video.py:24-39, 233-346. A MulticameraVideo
+is a directory of per-camera Video subdirectories `00000, 00001, ...`
+(dataset/multicamera_video.py:42-61).
+
+Reference pickles contain `utils.lib_3d.pose_parameters.PoseParametersNumpy`
+instances; `_CompatUnpickler` maps that class path onto our shim, and the shim
+spoofs its `__module__` when saving so datasets written here load in the
+reference unchanged.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import pickle
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+FRAME_NAME_DIGITS = 5
+
+
+class PoseParametersNumpy:
+    """Euler rotation + translation pose, pickle-compatible with the
+    reference's PoseParametersNumpy (pose_parameters.py:109-138)."""
+
+    def __init__(self, rotation: Sequence, translation: Sequence):
+        self.rotation = np.asarray(rotation, dtype=np.float32)
+        self.translation = np.asarray(translation, dtype=np.float32)
+
+
+# Pickle under the reference's module path so reference code can unpickle.
+PoseParametersNumpy.__module__ = "utils.lib_3d.pose_parameters"
+
+
+def _register_compat_modules():
+    """Install stub modules at the reference's pickle paths so pickling our
+    shim classes (and plain unpickling of reference files) succeeds without
+    the reference on sys.path."""
+    import sys
+    import types
+
+    if "utils.lib_3d.pose_parameters" in sys.modules:
+        return
+    utils_mod = sys.modules.setdefault("utils", types.ModuleType("utils"))
+    lib3d_mod = types.ModuleType("utils.lib_3d")
+    pose_mod = types.ModuleType("utils.lib_3d.pose_parameters")
+    pose_mod.PoseParametersNumpy = PoseParametersNumpy
+    pose_mod.PoseParameters = PoseParametersNumpy
+    utils_mod.lib_3d = lib3d_mod
+    lib3d_mod.pose_parameters = pose_mod
+    sys.modules["utils.lib_3d"] = lib3d_mod
+    sys.modules["utils.lib_3d.pose_parameters"] = pose_mod
+
+
+_register_compat_modules()
+
+_COMPAT_CLASSES = {
+    ("utils.lib_3d.pose_parameters", "PoseParametersNumpy"): PoseParametersNumpy,
+    ("utils.lib_3d.pose_parameters", "PoseParameters"): PoseParametersNumpy,
+}
+
+
+class _CompatUnpickler(pickle.Unpickler):
+    def find_class(self, module, name):
+        if (module, name) in _COMPAT_CLASSES:
+            return _COMPAT_CLASSES[(module, name)]
+        return super().find_class(module, name)
+
+
+def _load_pickle(path: str):
+    with open(path, "rb") as f:
+        return _CompatUnpickler(f).load()
+
+
+def _save_pickle(obj, path: str):
+    with open(path, "wb") as f:
+        pickle.dump(obj, f)
+
+
+def _frame_name(idx: int) -> str:
+    return f"{idx:0{FRAME_NAME_DIGITS}}"
+
+
+def _load_image(path: str) -> np.ndarray:
+    """Load an image file to (H, W, 3) float32 in [0, 1]."""
+    from PIL import Image
+
+    with Image.open(path) as img:
+        return np.asarray(img.convert("RGB"), dtype=np.float32) / 255.0
+
+
+def _save_image(array: np.ndarray, path: str):
+    from PIL import Image
+
+    img = Image.fromarray(
+        np.clip(np.asarray(array) * 255.0, 0, 255).astype(np.uint8)
+    )
+    img.save(path)
+
+
+class Video:
+    """A single-camera video with per-frame annotations, loaded lazily.
+
+    Attribute layout mirrors the reference (dataset/video.py):
+      - cameras: list of PoseParametersNumpy (camera-to-world pose)
+      - focals: list of floats (pixels)
+      - bounding_boxes: list of (4, dynamic_objects) float arrays, normalized
+        (l, t, r, b) in [0, 1]
+      - bounding_boxes_validity: list of (dynamic_objects,) bool arrays
+    """
+
+    PICKLE_FILES = {
+        "actions": "actions.pkl",
+        "rewards": "rewards.pkl",
+        "metadata": "metadata.pkl",
+        "dones": "dones.pkl",
+        "cameras": "cameras.pkl",
+        "focals": "focals.pkl",
+        "bounding_boxes": "bounding_boxes.pkl",
+        "bounding_boxes_validity": "bounding_box_validity.pkl",
+    }
+    OPTIONAL_PICKLE_FILES = {
+        "keypoints": "keypoints.pkl",
+        "keypoints_validity": "keypoints_validity.pkl",
+        "object_poses": "object_poses.pkl",
+        "crop_region": "crop_region.pkl",
+    }
+
+    def __init__(self):
+        self.path: Optional[str] = None
+        self.frame_paths: List[str] = []
+        self._frames_in_memory: Optional[List[np.ndarray]] = None
+        self.actions: List[int] = []
+        self.rewards: List[float] = []
+        self.metadata: List[Dict] = []
+        self.dones: List[bool] = []
+        self.cameras: List[PoseParametersNumpy] = []
+        self.focals: List[float] = []
+        self.bounding_boxes: List[np.ndarray] = []
+        self.bounding_boxes_validity: List[np.ndarray] = []
+        self.keypoints = None
+        self.keypoints_validity = None
+        self.object_poses = None
+        self.crop_region = None
+
+    # ------------------------------------------------------------------
+
+    def add_content(
+        self,
+        frames: List[np.ndarray],
+        actions: List[int],
+        rewards: List[float],
+        metadata: List[Dict],
+        dones: List[bool],
+        cameras: List[PoseParametersNumpy],
+        focals: List[float],
+        bounding_boxes: List[np.ndarray],
+        bounding_boxes_validity: List[np.ndarray],
+        **optional,
+    ) -> "Video":
+        """Populate in memory (the dataset-construction API,
+        dataset/video.py:64-137). Frames are (H, W, 3) float arrays in [0, 1]."""
+        n = len(frames)
+        for name, seq in [
+            ("actions", actions), ("rewards", rewards), ("metadata", metadata),
+            ("dones", dones), ("cameras", cameras), ("focals", focals),
+            ("bounding_boxes", bounding_boxes),
+            ("bounding_boxes_validity", bounding_boxes_validity),
+        ]:
+            if len(seq) != n:
+                raise ValueError(f"{name} has {len(seq)} entries for {n} frames")
+        self._frames_in_memory = [np.asarray(f, dtype=np.float32) for f in frames]
+        self.frame_paths = [None] * n
+        self.actions = list(actions)
+        self.rewards = list(rewards)
+        self.metadata = list(metadata)
+        self.dones = list(dones)
+        self.cameras = list(cameras)
+        self.focals = list(focals)
+        self.bounding_boxes = [np.asarray(b, np.float32) for b in bounding_boxes]
+        self.bounding_boxes_validity = [
+            np.asarray(v, bool) for v in bounding_boxes_validity
+        ]
+        for key in self.OPTIONAL_PICKLE_FILES:
+            if key in optional:
+                setattr(self, key, optional[key])
+        return self
+
+    def load(self, path: str) -> "Video":
+        if not os.path.isdir(path):
+            raise FileNotFoundError(f"not a video directory: {path}")
+        self.path = path
+        names = sorted(
+            f for f in os.listdir(path)
+            if f.endswith((".png", ".jpg", ".jpeg")) and f.split(".")[0].isdigit()
+        )
+        self.frame_paths = [os.path.join(path, f) for f in names]
+        n = len(self.frame_paths)
+
+        defaults = {
+            "actions": lambda: [0] * n,
+            "rewards": lambda: [0.0] * n,
+            "metadata": lambda: [{} for _ in range(n)],
+            "dones": lambda: [False] * n,
+            "cameras": lambda: [
+                PoseParametersNumpy([0.0] * 3, [0.0] * 3) for _ in range(n)
+            ],
+            "focals": lambda: [1.0] * n,
+            "bounding_boxes": lambda: [
+                np.zeros((4, 0), np.float32) for _ in range(n)
+            ],
+            "bounding_boxes_validity": lambda: [
+                np.zeros((0,), bool) for _ in range(n)
+            ],
+        }
+        for attr, filename in self.PICKLE_FILES.items():
+            file_path = os.path.join(path, filename)
+            if os.path.isfile(file_path):
+                setattr(self, attr, _load_pickle(file_path))
+            else:
+                setattr(self, attr, defaults[attr]())
+        for attr, filename in self.OPTIONAL_PICKLE_FILES.items():
+            file_path = os.path.join(path, filename)
+            if os.path.isfile(file_path):
+                setattr(self, attr, _load_pickle(file_path))
+        return self
+
+    def save(self, path: str, exists_ok: bool = False):
+        """Write the reference on-disk layout (dataset/video.py:765-815)."""
+        os.makedirs(path, exist_ok=exists_ok)
+        for idx in range(self.frames_count):
+            _save_image(
+                self.get_frame(idx), os.path.join(path, _frame_name(idx) + ".png")
+            )
+        for attr, filename in self.PICKLE_FILES.items():
+            _save_pickle(getattr(self, attr), os.path.join(path, filename))
+        for attr, filename in self.OPTIONAL_PICKLE_FILES.items():
+            value = getattr(self, attr)
+            if value is not None:
+                _save_pickle(value, os.path.join(path, filename))
+
+    # ------------------------------------------------------------------
+
+    @property
+    def frames_count(self) -> int:
+        return len(self.frame_paths)
+
+    @property
+    def dynamic_objects_count(self) -> int:
+        if not self.bounding_boxes:
+            return 0
+        return int(np.asarray(self.bounding_boxes[0]).shape[-1])
+
+    def get_frame(self, idx: int) -> np.ndarray:
+        """(H, W, 3) float32 in [0, 1]."""
+        if self._frames_in_memory is not None:
+            return self._frames_in_memory[idx]
+        return _load_image(self.frame_paths[idx])
+
+    def get_frame_path(self, idx: int) -> Optional[str]:
+        return self.frame_paths[idx]
+
+    def image_size(self) -> Tuple[int, int]:
+        """(height, width) of the frames."""
+        return self.get_frame(0).shape[:2]
+
+
+class MulticameraVideo:
+    """A directory of per-camera Videos with aligned frame indices.
+    Reference: dataset/multicamera_video.py."""
+
+    def __init__(self, videos: Optional[List[Video]] = None):
+        self.videos: List[Video] = videos or []
+
+    def load(self, path: str) -> "MulticameraVideo":
+        if not os.path.isdir(path):
+            raise FileNotFoundError(f"not a multicamera video directory: {path}")
+        camera_dirs = sorted(
+            d for d in os.listdir(path)
+            if os.path.isdir(os.path.join(path, d)) and d.isdigit()
+        )
+        if not camera_dirs:
+            raise FileNotFoundError(f"no camera subdirectories in {path}")
+        self.videos = [Video().load(os.path.join(path, d)) for d in camera_dirs]
+        counts = {v.frames_count for v in self.videos}
+        if len(counts) != 1:
+            raise ValueError(f"cameras disagree on frame count: {counts}")
+        return self
+
+    def save(self, path: str, exists_ok: bool = False):
+        os.makedirs(path, exist_ok=exists_ok)
+        for idx, video in enumerate(self.videos):
+            video.save(os.path.join(path, _frame_name(idx)), exists_ok=exists_ok)
+
+    @property
+    def cameras_count(self) -> int:
+        return len(self.videos)
+
+    @property
+    def frames_count(self) -> int:
+        return self.videos[0].frames_count
+
+    @property
+    def dynamic_objects_count(self) -> int:
+        return self.videos[0].dynamic_objects_count
+
+    def image_size(self) -> Tuple[int, int]:
+        return self.videos[0].image_size()

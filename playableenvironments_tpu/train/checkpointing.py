@@ -1,0 +1,83 @@
+"""Checkpoint save/restore via orbax.
+
+The reference checkpoints model + optimizers + scheduler + step as torch
+state_dicts (training/trainer.py:135-171); here the whole TrainState pytree
+(params, batch_stats, optimizer state, step, EMA extras) round-trips through
+one orbax PyTreeCheckpointer, so annealing and EMA state resume exactly.
+Cross-phase transfer (phase-2 checkpoint feeding phase 3, README.md:144-155)
+is `restore_params` into a fresh state.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+from playableenvironments_tpu.train.state import TrainState
+
+
+def _checkpointer():
+    return ocp.PyTreeCheckpointer()
+
+
+def save_checkpoint(directory: str, state: TrainState, step: Optional[int] = None):
+    """Write `<directory>/checkpoint_<step>` (step defaults to state.step)."""
+    step = int(state.step) if step is None else step
+    path = os.path.join(os.path.abspath(directory), f"checkpoint_{step}")
+    payload = {
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "opt_state": state.opt_state,
+        "step": state.step,
+        "extra": state.extra,
+    }
+    _checkpointer().save(path, payload, force=True)
+    return path
+
+
+def latest_checkpoint(directory: str) -> Optional[str]:
+    if not os.path.isdir(directory):
+        return None
+    candidates = []
+    for name in os.listdir(directory):
+        if name.startswith("checkpoint_"):
+            try:
+                candidates.append((int(name.split("_")[-1]), name))
+            except ValueError:
+                continue
+    if not candidates:
+        return None
+    return os.path.join(directory, max(candidates)[1])
+
+
+def restore_checkpoint(path: str, state: TrainState) -> TrainState:
+    """Restore a TrainState saved by save_checkpoint, using `state` as the
+    structure/dtype template (its tx is kept)."""
+    template = {
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "opt_state": state.opt_state,
+        "step": state.step,
+        "extra": state.extra,
+    }
+    restored = _checkpointer().restore(path, item=template)
+    return state.replace(
+        params=restored["params"],
+        batch_stats=restored["batch_stats"],
+        opt_state=restored["opt_state"],
+        step=restored["step"],
+        extra=restored["extra"],
+    )
+
+
+def restore_params(path: str, params_template: Any, batch_stats_template: Any):
+    """Load only params/batch_stats from a checkpoint (cross-phase transfer)."""
+    full = _checkpointer().restore(path)
+    params = jax.tree.map(lambda t, r: r, params_template, full["params"])
+    batch_stats = jax.tree.map(
+        lambda t, r: r, batch_stats_template, full["batch_stats"]
+    )
+    return params, batch_stats

@@ -1,0 +1,226 @@
+"""Phase-2 synthesis trainer: the jitted train step for the environment model.
+
+Replaces training/trainer.py (723 LoC of epoch loops, profiler plumbing, and
+host-side loss assembly) with one pure loss function + one pjit-able train
+step. Loss set and annealing schedules mirror trainer.py:367-536:
+reconstruction, ray-object-distance, displacement magnitude, annealed
+divergence, per-dynamic-object opacity/sharpness/attention, bounding-box
+distance.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from playableenvironments_tpu.config import ObjectIds, SceneConfig
+from playableenvironments_tpu.data.batching import Batch
+from playableenvironments_tpu.render.environment_model import EnvironmentModel
+from playableenvironments_tpu.train import losses
+from playableenvironments_tpu.train.state import TrainState, create_train_state, make_optimizer
+
+
+@dataclass(frozen=True)
+class LossWeights:
+    """Phase-2 loss weights (configs/*/193...yaml `training.loss_weights`)."""
+
+    reconstruction: float = 1.0
+    perceptual: float = 0.0
+    ray_object_distance: float = 0.0
+    bounding_box: float = 0.0
+    displacements_magnitude: float = 0.0
+    divergence: float = 0.0
+    opacity: float = 0.0
+    attention: float = 0.0
+    sharpness: float = 0.0
+    sharpness_mean: float = 0.5
+    sharpness_std: float = 0.15
+
+
+@dataclass(frozen=True)
+class SynthesisTrainingConfig:
+    learning_rate: float = 5e-4
+    lr_gamma: float = 0.926118
+    lr_decay_iterations: int = 10000
+    weight_decay: float = 0.0
+    max_steps: int = 300000
+    samples_per_image: int = 144
+    perturb: bool = True
+    shuffle_style: bool = True
+    patch_size: int = 0
+    patch_strides: Tuple[int, ...] = ()
+    loss_weights: LossWeights = field(default_factory=LossWeights)
+
+
+RNG_STREAMS = ("ray_sampling", "sampling", "alpha_noise", "style_shuffle", "divergence")
+
+
+def split_rngs(key: jax.Array) -> Dict[str, jax.Array]:
+    keys = jax.random.split(key, len(RNG_STREAMS))
+    return dict(zip(RNG_STREAMS, keys))
+
+
+class SynthesisTrainer:
+    """Builds the jitted phase-2 train/eval steps for an EnvironmentModel."""
+
+    def __init__(self, model: EnvironmentModel, cfg: SynthesisTrainingConfig):
+        self.model = model
+        self.cfg = cfg
+        self.object_ids = ObjectIds(model.scene)
+
+    # ------------------------------------------------------------------
+
+    def init_state(self, key: jax.Array, example_batch: Batch) -> TrainState:
+        variables = self.model.init(
+            {**split_rngs(key), "params": key},
+            *example_batch.environment_model_args(),
+            samples_per_image=self.cfg.samples_per_image,
+            patch_size=self.cfg.patch_size,
+            patch_strides=self.cfg.patch_strides or None,
+        )
+        tx = make_optimizer(
+            self.cfg.learning_rate,
+            self.cfg.lr_gamma,
+            self.cfg.lr_decay_iterations,
+            self.cfg.weight_decay,
+        )
+        return create_train_state(
+            variables["params"], variables.get("batch_stats", {}), tx
+        )
+
+    # ------------------------------------------------------------------
+
+    def compute_losses(
+        self,
+        params,
+        batch_stats,
+        batch: Batch,
+        key: jax.Array,
+        step: jnp.ndarray,
+    ):
+        """(loss, (metrics, new_batch_stats, results)). Pure; differentiable in
+        params. Mirrors trainer.py:367-536."""
+        w = self.cfg.loss_weights
+        compute_divergence = w.divergence > 0.0
+
+        results, mutated = self.model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            *batch.environment_model_args(),
+            samples_per_image=self.cfg.samples_per_image,
+            perturb=self.cfg.perturb,
+            patch_size=self.cfg.patch_size,
+            patch_strides=self.cfg.patch_strides or None,
+            shuffle_style=self.cfg.shuffle_style,
+            step=step,
+            train=True,
+            compute_divergence=compute_divergence,
+            rngs=split_rngs(key),
+            mutable=["batch_stats"],
+        )
+
+        static_objects = self.object_ids.static_objects_count
+        object_in_scene = jnp.any(batch.bounding_boxes_validity, axis=2)
+
+        sampled_observations = results["observations"]
+        metrics: Dict[str, jnp.ndarray] = {}
+        total = jnp.zeros(())
+
+        divergence_annealing = (1.0 / 100.0) ** (1.0 - step / self.cfg.max_steps)
+        sharpness_annealing = jnp.minimum(1.0, step / self.cfg.max_steps)
+
+        for pass_name in ("coarse", "fine"):
+            if pass_name not in results:
+                continue
+            global_results = results[pass_name]["global"]
+            reconstructed = global_results["integrated_features"]
+
+            rec = losses.reconstruction_loss(sampled_observations, reconstructed)
+            rod = losses.ray_object_distance_loss(
+                sampled_observations,
+                reconstructed,
+                results["ray_object_distances"][..., static_objects:],
+            )
+            disp = jnp.mean(global_results["integrated_displacements_magnitude"])
+            div = jnp.mean(global_results["integrated_divergence"])
+
+            metrics[f"{pass_name}_reconstruction_loss"] = rec
+            metrics[f"{pass_name}_ray_object_distance_loss"] = rod
+            metrics[f"{pass_name}_displacements_magnitude_loss"] = disp
+            metrics[f"{pass_name}_divergence_loss"] = div
+
+            total = total + w.reconstruction * rec
+            total = total + w.ray_object_distance * rod
+            total = total + w.displacements_magnitude * disp
+            total = total + w.divergence * divergence_annealing * div
+
+            # Per-dynamic-object opacity/sharpness (trainer.py:466-482).
+            for object_idx in range(static_objects, self.object_ids.objects_count):
+                dyn_idx = self.object_ids.dynamic_object_idx_by_object_idx(object_idx)
+                validity = batch.bounding_boxes_validity[..., dyn_idx]
+                opacity = results[pass_name][f"object_{object_idx}"]["opacity"]
+                op = losses.opacity_loss(opacity, validity)
+                sh = losses.sharpness_loss(
+                    opacity, validity, w.sharpness_mean, w.sharpness_std
+                )
+                metrics[f"{pass_name}_object_{object_idx}_opacity_loss"] = op
+                metrics[f"{pass_name}_object_{object_idx}_sharpness_loss"] = sh
+                total = total + w.opacity * op
+                total = total + w.sharpness * sharpness_annealing * sh
+
+        # Attention losses on dynamic objects (trainer.py:488-497).
+        for object_idx in range(static_objects, self.object_ids.objects_count):
+            dyn_idx = self.object_ids.dynamic_object_idx_by_object_idx(object_idx)
+            validity = batch.bounding_boxes_validity[:, :, 0, dyn_idx]
+            att = losses.attention_loss(
+                results["object_attention"][object_idx], validity
+            )
+            metrics[f"object_{object_idx}_attention_loss"] = att
+            total = total + w.attention * att
+
+        # Bounding-box distance on dynamic objects (trainer.py:499-507).
+        bbox_loss, per_object_bbox = losses.bounding_box_distance_loss(
+            jax.lax.stop_gradient(batch.bounding_boxes),
+            results["reconstructed_bounding_boxes"][..., static_objects:, :],
+            batch.bounding_boxes_validity,
+        )
+        metrics["bounding_box_loss"] = bbox_loss
+        total = total + w.bounding_box * bbox_loss
+
+        # Pose statistics (logged, not optimized; trainer.py:509-530).
+        for object_idx in range(static_objects, self.object_ids.objects_count):
+            dyn_idx = self.object_ids.dynamic_object_idx_by_object_idx(object_idx)
+            in_scene = object_in_scene[..., dyn_idx]
+            translations = results["scene_encoding"].object_translations[
+                ..., object_idx, :
+            ]
+            mean_mag = losses.masked_mean(
+                jax.lax.stop_gradient(jnp.abs(translations)), in_scene[..., None]
+            )
+            metrics[f"object_{object_idx}_translation_magnitude"] = mean_mag
+
+        metrics["loss"] = total
+        return total, (metrics, mutated["batch_stats"], results)
+
+    # ------------------------------------------------------------------
+
+    def train_step(
+        self, state: TrainState, batch: Batch, key: jax.Array
+    ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        """One optimization step. jit/pjit-able; donate `state` for in-place
+        buffers."""
+
+        def loss_fn(params):
+            return self.compute_losses(
+                params, state.batch_stats, batch, key, state.step
+            )
+
+        (loss, (metrics, new_batch_stats, _)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        new_state = state.apply_gradients(grads).replace(
+            batch_stats=new_batch_stats
+        )
+        return new_state, metrics

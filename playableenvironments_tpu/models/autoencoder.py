@@ -1,0 +1,252 @@
+"""The feature renderer F: multiresolution variational autoencoder.
+
+NHWC flax re-design of model/autoencoder_models/: CycleGAN-style residual
+blocks (reflect padding, BN), per-level downsampling with AvgPool, doubled
+channels for (mean, log variance) at each bottleneck, and a decoder with
+bilinear upsampling and unactivated skip concatenation.
+
+Variants (autoencoder_v8 = EncoderV4 + DecoderV6; autoencoder_v9 = EncoderV5 +
+DecoderV7) differ only in extra residual blocks + activations inside deep
+downsampling sets; selected by AutoencoderConfig.variant.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from playableenvironments_tpu.config import AutoencoderConfig
+
+
+def reflect_pad(x: jnp.ndarray, pad: int) -> jnp.ndarray:
+    return jnp.pad(
+        x, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="reflect"
+    )
+
+
+class CycleGanResnetBlock(nn.Module):
+    """Residual block: [reflect-pad conv3x3 BN ReLU] x2 (second without ReLU),
+    1x1 projection on the skip when widths differ.
+    Reference: model/autoencoder_models/layers/cyclegan_resnet_block.py."""
+
+    out_features: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
+        y = reflect_pad(x, 1)
+        y = nn.Conv(self.out_features, (3, 3), padding="VALID", use_bias=False,
+                    name="conv1")(y)
+        y = nn.BatchNorm(use_running_average=not train, name="bn1")(y)
+        y = nn.relu(y)
+        y = reflect_pad(y, 1)
+        y = nn.Conv(self.out_features, (3, 3), padding="VALID", use_bias=False,
+                    name="conv2")(y)
+        y = nn.BatchNorm(use_running_average=not train, name="bn2")(y)
+
+        residual = x
+        if x.shape[-1] != self.out_features:
+            residual = nn.Conv(self.out_features, (1, 1), use_bias=False,
+                               name="skip_conv")(x)
+            residual = nn.BatchNorm(use_running_average=not train, name="skip_bn")(
+                residual
+            )
+        return residual + y
+
+
+def features_count_by_layer(cfg: AutoencoderConfig) -> List[int]:
+    """Per-level bottleneck widths (encoder_v4.py:103's bookkeeping): with
+    bottleneck_features F and downsampling counts (d_0, d_1, ...), level i has
+    F / 2^(sum(d) - cum_i) features; their sum is what the NeRF must emit."""
+    initial = cfg.bottleneck_features // (2 ** sum(cfg.downsampling_layers_count))
+    counts, cumulative = [], 0
+    for d in cfg.downsampling_layers_count:
+        cumulative += d
+        counts.append(initial * (2 ** cumulative))
+    return counts
+
+
+def autoencoder_strides(cfg: AutoencoderConfig) -> List[int]:
+    """Pixel stride of each latent level: cumulative powers of two of the
+    downsampling counts, e.g. (2, 1) -> strides (4, 8). These are the
+    patch_strides the NeRF renders on (trainer_multiresolution_backpropagated_
+    decoder.py:52-53)."""
+    strides, cumulative = [], 0
+    for d in cfg.downsampling_layers_count:
+        cumulative += d
+        strides.append(2 ** cumulative)
+    return strides
+
+
+class MultiresEncoder(nn.Module):
+    """Reference EncoderV4/V5: initial 7x7 conv, then per level `d_i` strided
+    (conv + BN + ReLU + AvgPool2) downsamples and bottleneck residual blocks,
+    the last one emitting 2x channels (mean ++ log variance), UNACTIVATED.
+    Returns the per-level unactivated outputs; the next level continues from
+    relu(mean)."""
+
+    cfg: AutoencoderConfig
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = True) -> List[jnp.ndarray]:
+        deep = self.cfg.variant == "v9"
+        initial = self.cfg.bottleneck_features // (
+            2 ** sum(self.cfg.downsampling_layers_count)
+        )
+
+        y = reflect_pad(x, 3)
+        y = nn.Conv(initial, (7, 7), padding="VALID", use_bias=False, name="initial_conv")(y)
+        y = nn.BatchNorm(use_running_average=not train, name="initial_bn")(y)
+        y = nn.relu(y)
+
+        outputs = []
+        cumulative = 0
+        for set_idx, downs in enumerate(self.cfg.downsampling_layers_count):
+            for i in range(downs):
+                mult = 2 ** cumulative
+                y = nn.Conv(
+                    initial * mult * 2, (3, 3), padding="SAME", use_bias=False,
+                    name=f"down_{set_idx}_{i}",
+                )(y)
+                y = nn.BatchNorm(
+                    use_running_average=not train, name=f"down_bn_{set_idx}_{i}"
+                )(y)
+                y = nn.relu(y)
+                y = nn.avg_pool(y, (2, 2), strides=(2, 2))
+                cumulative += 1
+                # v9: extra residuals mid-set for deep sets (encoder_v5.py:66-81).
+                if deep and downs >= 3 and i == 1:
+                    for b in range(self.cfg.bottleneck_blocks):
+                        y = CycleGanResnetBlock(
+                            initial * mult * 2, name=f"mid_res_{set_idx}_{b}"
+                        )(y, train)
+                        y = nn.relu(y)
+
+            width = initial * (2 ** cumulative)
+            for b in range(self.cfg.bottleneck_blocks):
+                out_dim = width
+                if b == self.cfg.bottleneck_blocks - 1 and self.cfg.variational:
+                    out_dim = 2 * width
+                y = CycleGanResnetBlock(out_dim, name=f"bottleneck_{set_idx}_{b}")(
+                    y, train
+                )
+                if deep and b != self.cfg.bottleneck_blocks - 1:
+                    y = nn.relu(y)
+
+            outputs.append(y)  # unactivated (mean ++ logvar)
+            mean = y[..., : y.shape[-1] // 2]
+            y = nn.relu(mean)
+        return outputs
+
+
+class MultiresDecoder(nn.Module):
+    """Reference DecoderV6/V7: from the lowest-resolution latent upward —
+    bottleneck residual blocks, bilinear-upsample convs, skip-concat the next
+    level's (unactivated) latent — ending in a 7x7 conv + sigmoid."""
+
+    cfg: AutoencoderConfig
+
+    @nn.compact
+    def __call__(
+        self, encoded_levels: List[jnp.ndarray], train: bool = True
+    ) -> jnp.ndarray:
+        """:param encoded_levels: per-level sampled latents, level 0 at the
+        highest resolution (encoder output order).
+        :return: (N, H, W, input_features) reconstruction in [0, 1]."""
+        deep = self.cfg.variant == "v9"
+        initial = self.cfg.bottleneck_features // (
+            2 ** sum(self.cfg.downsampling_layers_count)
+        )
+        mult = 2 ** sum(self.cfg.downsampling_layers_count)
+
+        y = encoded_levels[-1]
+        reversed_counts = list(reversed(self.cfg.downsampling_layers_count))
+        for set_idx, downs in enumerate(reversed_counts):
+            for b in range(self.cfg.bottleneck_blocks):
+                y = CycleGanResnetBlock(
+                    initial * mult, name=f"bottleneck_{set_idx}_{b}"
+                )(y, train)
+                if deep:
+                    y = nn.relu(y)
+            for i in range(downs):
+                n, h, w, c = y.shape
+                y = jax.image.resize(y, (n, 2 * h, 2 * w, c), method="bilinear")
+                y = reflect_pad(y, 1)
+                y = nn.Conv(
+                    initial * mult // 2, (3, 3), padding="VALID", use_bias=False,
+                    name=f"up_{set_idx}_{i}",
+                )(y)
+                y = nn.BatchNorm(
+                    use_running_average=not train, name=f"up_bn_{set_idx}_{i}"
+                )(y)
+                y = nn.relu(y)
+                mult //= 2
+                if deep and downs >= 3 and i == downs - 2:
+                    for b in range(self.cfg.bottleneck_blocks):
+                        y = CycleGanResnetBlock(
+                            initial * mult, name=f"mid_res_{set_idx}_{b}"
+                        )(y, train)
+                        y = nn.relu(y)
+
+            if set_idx != len(reversed_counts) - 1:
+                skip = encoded_levels[-set_idx - 2]
+                y = jnp.concatenate([y, skip], axis=-1)
+
+        y = reflect_pad(y, 3)
+        y = nn.Conv(self.cfg.input_features, (7, 7), padding="VALID", name="final_conv")(y)
+        return nn.sigmoid(y)
+
+
+class MultiresAutoencoder(nn.Module):
+    """The VAE (reference AutoencoderV7/8/9 surface): encode / sample / decode.
+
+    Methods for `apply(..., method=...)`:
+    - `encode(observations)` -> per-level (mean ++ logvar) latents
+    - `decode(latents)` -> reconstruction
+    - `__call__(observations, key)` -> dict(reconstructed_observations,
+      encoded_observations)  [the full variational path]
+    """
+
+    cfg: AutoencoderConfig
+
+    def setup(self):
+        self.encoder = MultiresEncoder(self.cfg, name="encoder")
+        self.decoder = MultiresDecoder(self.cfg, name="decoder")
+
+    def encode(self, observations: jnp.ndarray, train: bool = True):
+        return self.encoder(observations, train)
+
+    def decode(self, encoded_levels: List[jnp.ndarray], train: bool = True):
+        return self.decoder(encoded_levels, train)
+
+    @staticmethod
+    def sample(
+        key: jax.Array, mean: jnp.ndarray, log_variance: jnp.ndarray
+    ) -> jnp.ndarray:
+        """Reparameterized posterior sample (autoencoder_v7.py:44-56)."""
+        noise = jax.random.normal(key, mean.shape, mean.dtype)
+        return noise * jnp.sqrt(jnp.exp(log_variance)) + mean
+
+    def __call__(
+        self,
+        observations: jnp.ndarray,
+        sample_key: Optional[jax.Array] = None,
+        train: bool = True,
+    ):
+        encoded = self.encoder(observations, train)
+        sampled = []
+        for level in encoded:
+            mean = level[..., : level.shape[-1] // 2]
+            log_variance = level[..., level.shape[-1] // 2 :]
+            if sample_key is not None:
+                sample_key, sub = jax.random.split(sample_key)
+                sampled.append(self.sample(sub, mean, log_variance))
+            else:
+                sampled.append(mean)
+        reconstructed = self.decoder(sampled, train)
+        return {
+            "reconstructed_observations": reconstructed,
+            "encoded_observations": encoded,
+        }

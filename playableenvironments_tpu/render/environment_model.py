@@ -116,6 +116,15 @@ class EnvironmentModel(nn.Module):
             object_encoders.append(cls(cfg, name=f"object_encoder_{i}"))
         self.object_encoder_modules = object_encoders
 
+        if self.scene.autoencoder is not None:
+            from playableenvironments_tpu.models.autoencoder import (
+                MultiresAutoencoder,
+            )
+
+            self.autoencoder_model = MultiresAutoencoder(
+                self.scene.autoencoder, name="autoencoder"
+            )
+
     # ------------------------------------------------------------------
     # Scene encoding
     # ------------------------------------------------------------------
@@ -510,9 +519,13 @@ class EnvironmentModel(nn.Module):
         canonical_pose: bool = False,
         train: bool = True,
         compute_divergence: bool = False,
+        decode_patches: bool = False,
     ) -> Dict:
         """The full training path: encode, sample rays, render.
         Reference: environment_model.py:847-1039.
+
+        :param decode_patches: run the VAE decoder on the rendered feature
+            patches (requires patch sampling + scene.autoencoder).
 
         Sampling strategy mirrors the reference's dispatch (975-985):
         patch_size > 0 -> strided patch; samples_per_image == 0 with strides ->
@@ -595,6 +608,13 @@ class EnvironmentModel(nn.Module):
         results["ray_object_distances"] = self._ray_object_distances(
             origins, world_directions, aux["o2w"]
         )
+
+        if decode_patches:
+            if self.scene.autoencoder is None or not patch_size:
+                raise ValueError(
+                    "decode_patches requires scene.autoencoder and patch sampling"
+                )
+            results = self.decode_rendered_patches(results, patch_size, train)
 
         results["observations"] = sampled_observations
         results["positions"] = sampled_positions
@@ -715,6 +735,111 @@ class EnvironmentModel(nn.Module):
             )
 
         results["positions"] = sampled_positions
+        return results
+
+    # ------------------------------------------------------------------
+    # Feature decoding (the multiresolution backpropagated decoder path)
+    # ------------------------------------------------------------------
+
+    def decode_rendered_patches(
+        self, results: Dict, patch_size: int, train: bool = True
+    ) -> Dict:
+        """Decode NeRF feature patches into RGB patches.
+
+        The published model's path (environment_model_multiresolution_
+        backpropagated_decoder.py:21-111): the renderer emits, per sample,
+        the concatenation of every latent level's features; per level, the
+        samples belonging to that level's strided patch are selected, folded
+        into a square feature patch, and the stack is decoded by the VAE
+        decoder. Adds to each pass's "global" dict:
+        - "reconstructed_observations": (B, T, C, P, P, 3) with
+          P = patch_size * stride_0,
+        - "splitted_integrated_features": per-level feature samples.
+        """
+        from playableenvironments_tpu.models.autoencoder import (
+            autoencoder_strides,
+            features_count_by_layer,
+        )
+
+        ae_cfg = self.scene.autoencoder
+        strides = autoencoder_strides(ae_cfg)
+        counts = features_count_by_layer(ae_cfg)
+
+        for pass_name in ("coarse", "fine"):
+            if pass_name not in results:
+                continue
+            global_results = results[pass_name]["global"]
+            features = global_results["integrated_features"]  # (B,T,C,n,F)
+
+            # Feature-axis split by level (split_features_by_layer).
+            level_features, begin = [], 0
+            for count in counts:
+                level_features.append(features[..., begin : begin + count])
+                begin += count
+
+            patches, split_features = [], []
+            for level_idx, feats in enumerate(level_features):
+                # Sample-axis split: keep only this level's patch samples.
+                chunk = sampling.split_strided_samples(feats, patch_size, strides)[
+                    level_idx
+                ]
+                split_features.append(chunk)
+                patches.append(sampling.samples_to_patch(chunk))
+
+            # Flatten (B, T, C) for the conv decoder.
+            lead = patches[0].shape[:-3]
+            flat_patches = [p.reshape((-1,) + p.shape[-3:]) for p in patches]
+            decoded = self.autoencoder_model.decode(flat_patches, train=train)
+            global_results["reconstructed_observations"] = decoded.reshape(
+                lead + decoded.shape[1:]
+            )
+            global_results["splitted_integrated_features"] = split_features
+        return results
+
+    def decode_rendered_grids(
+        self, results: Dict, image_size: Tuple[int, int], train: bool = False
+    ) -> Dict:
+        """Decode whole-image strided feature grids into full RGB frames.
+
+        Full-frame equivalent of decode_rendered_patches (reference:
+        environment_model_backpropagated_autoencoder.py:170-245): the renderer
+        was run on `sample_all_rays_strided_grid` with the autoencoder's
+        strides; per level, its grid slice is folded to (H/s, W/s) and the
+        decoder upsamples to full resolution.
+        """
+        from playableenvironments_tpu.models.autoencoder import (
+            autoencoder_strides,
+            features_count_by_layer,
+        )
+
+        ae_cfg = self.scene.autoencoder
+        strides = autoencoder_strides(ae_cfg)
+        counts = features_count_by_layer(ae_cfg)
+
+        for pass_name in ("coarse", "fine"):
+            if pass_name not in results:
+                continue
+            global_results = results[pass_name]["global"]
+            features = global_results["integrated_features"]
+
+            level_features, begin = [], 0
+            for count in counts:
+                level_features.append(features[..., begin : begin + count])
+                begin += count
+
+            grids = []
+            for level_idx, feats in enumerate(level_features):
+                folded = sampling.split_strided_grid_samples(
+                    feats, strides, image_size
+                )[level_idx]
+                grids.append(folded)
+
+            lead = grids[0].shape[:-3]
+            flat_grids = [g.reshape((-1,) + g.shape[-3:]) for g in grids]
+            decoded = self.autoencoder_model.decode(flat_grids, train=train)
+            global_results["reconstructed_observations"] = decoded.reshape(
+                lead + decoded.shape[1:]
+            )
         return results
 
     def __call__(self, *args, **kwargs):

@@ -279,6 +279,47 @@ def samples_to_patch(samples: jnp.ndarray) -> jnp.ndarray:
     return samples.reshape(samples.shape[:-2] + (p, p, f))
 
 
+def crop_region_from_patch_positions(
+    images: jnp.ndarray,
+    patch_positions: jnp.ndarray,
+    patch_size: int,
+    stride: int,
+) -> jnp.ndarray:
+    """Crop the pixel region covered by a strided patch from full images.
+
+    The patch's finest-stride samples sit at the centers of (stride x stride)
+    cells; the covered region starts stride//2 pixels before the first sample
+    and spans patch_size * stride pixels. Reference: ray_helper.py:1092-1155
+    (sample_original_region_from_patch_samples).
+
+    :param images: (..., H, W, C).
+    :param patch_positions: (..., n, 2) normalized (row, col) sample positions
+        for the finest stride (first patch_size^2 samples are used).
+    :param patch_size: finest-stride patch side length.
+    :param stride: finest stride.
+    :return: (..., patch_size * stride, patch_size * stride, C) crops.
+    """
+    h, w = images.shape[-3], images.shape[-2]
+    first = patch_positions[..., 0, :]  # (..., 2) first sample position
+    start_row = (first[..., 0] * h).astype(jnp.int32) - stride // 2
+    start_col = (first[..., 1] * w).astype(jnp.int32) - stride // 2
+    size = patch_size * stride
+    start_row = jnp.clip(start_row, 0, h - size)
+    start_col = jnp.clip(start_col, 0, w - size)
+
+    flat_images = images.reshape((-1,) + images.shape[-3:])
+    flat_rows = start_row.reshape(-1)
+    flat_cols = start_col.reshape(-1)
+
+    def crop_one(img, r, c):
+        return jax.lax.dynamic_slice(
+            img, (r, c, 0), (size, size, img.shape[-1])
+        )
+
+    crops = jax.vmap(crop_one)(flat_images, flat_rows, flat_cols)
+    return crops.reshape(images.shape[:-3] + crops.shape[1:])
+
+
 def split_strided_grid_samples(
     samples: jnp.ndarray,
     strides: Sequence[int],

@@ -62,6 +62,7 @@ def make_optimizer(
     weight_decay: float = 0.0,
     group_learning_rates: Optional[Dict[str, float]] = None,
     group_fn: Optional[Callable[[str], str]] = None,
+    group_freeze_steps: Optional[Dict[str, int]] = None,
 ) -> optax.GradientTransformation:
     """Adam with staircase-exponential lr decay and optional per-group rates.
 
@@ -69,10 +70,20 @@ def make_optimizer(
     :param group_fn: maps the TOP-LEVEL parameter key to a group name;
         defaults to identity. Parameters whose group is absent from
         group_learning_rates use the main rate.
+    :param group_freeze_steps: group name -> steps to hold its lr at 0 first
+        (the reference's `frozen_autoencoder_steps`,
+        trainer_backpropagated_autoencoder.py:118-121).
     """
+    group_freeze_steps = group_freeze_steps or {}
 
-    def adam(lr):
-        schedule = exponential_decay_schedule(lr, gamma, decay_iterations)
+    def adam(lr, freeze_steps=0):
+        base = exponential_decay_schedule(lr, gamma, decay_iterations)
+        if freeze_steps:
+            schedule = lambda step: jnp.where(  # noqa: E731
+                step < freeze_steps, 0.0, base(step)
+            )
+        else:
+            schedule = base
         if weight_decay:
             return optax.adamw(schedule, weight_decay=weight_decay)
         return optax.adam(schedule)
@@ -83,7 +94,7 @@ def make_optimizer(
     group_fn = group_fn or (lambda name: name)
     transforms = {"__main__": adam(learning_rate)}
     for group, lr in group_learning_rates.items():
-        transforms[group] = adam(lr)
+        transforms[group] = adam(lr, group_freeze_steps.get(group, 0))
 
     def label_tree(params):
         def label_top(key):

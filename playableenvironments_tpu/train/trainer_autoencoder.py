@@ -1,0 +1,90 @@
+"""Phase-1 trainer: the variational feature renderer (VAE) on plain images.
+
+Replaces training/autoencoder/autoencoder_trainer.py: image reconstruction +
+spatial KL (+ optional perceptual), Adam with staircase lr decay, one jitted
+step. Input augmentation sets are omitted — the reference's are effectively
+disabled by a `hasattr`-on-dict bug (dataset/transforms.py:169-244,
+SURVEY.md §2.e).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from playableenvironments_tpu.config import AutoencoderConfig
+from playableenvironments_tpu.models.autoencoder import MultiresAutoencoder
+from playableenvironments_tpu.train import losses
+from playableenvironments_tpu.train.state import TrainState, create_train_state, make_optimizer
+
+
+@dataclass(frozen=True)
+class AutoencoderTrainingConfig:
+    learning_rate: float = 4e-4
+    lr_gamma: float = 0.926118
+    lr_decay_iterations: int = 10000
+    weight_decay: float = 0.0
+    max_steps: int = 300000
+    reconstruction_lambda: float = 1.0
+    perceptual_lambda: float = 0.0
+    kl_lambda: float = 5e-6
+
+
+class AutoencoderTrainer:
+    """Jitted train step for the MultiresAutoencoder on (N, H, W, 3) images."""
+
+    def __init__(self, ae_cfg: AutoencoderConfig, cfg: AutoencoderTrainingConfig):
+        self.model = MultiresAutoencoder(ae_cfg)
+        self.cfg = cfg
+
+    def init_state(self, key: jax.Array, example_images: jnp.ndarray) -> TrainState:
+        variables = self.model.init(
+            {"params": key}, example_images, sample_key=key
+        )
+        tx = make_optimizer(
+            self.cfg.learning_rate,
+            self.cfg.lr_gamma,
+            self.cfg.lr_decay_iterations,
+            self.cfg.weight_decay,
+        )
+        return create_train_state(
+            variables["params"], variables.get("batch_stats", {}), tx
+        )
+
+    def compute_losses(self, params, batch_stats, images, key):
+        """VAE objective (autoencoder_trainer.py:57-68): pixel MSE + spatial KL."""
+        out, mutated = self.model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            images,
+            sample_key=key,
+            train=True,
+            mutable=["batch_stats"],
+        )
+        rec = losses.image_reconstruction_loss(
+            images, out["reconstructed_observations"]
+        )
+        kl = jnp.mean(
+            jnp.stack(
+                [losses.spatial_kl_gaussian(level) for level in out["encoded_observations"]]
+            )
+        )
+        total = self.cfg.reconstruction_lambda * rec + self.cfg.kl_lambda * kl
+        metrics = {"loss": total, "reconstruction_loss": rec, "kl_loss": kl}
+        return total, (metrics, mutated["batch_stats"], out)
+
+    def train_step(
+        self, state: TrainState, images: jnp.ndarray, key: jax.Array
+    ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        def loss_fn(params):
+            return self.compute_losses(params, state.batch_stats, images, key)
+
+        (_, (metrics, new_batch_stats, _)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        return (
+            state.apply_gradients(grads).replace(batch_stats=new_batch_stats),
+            metrics,
+        )

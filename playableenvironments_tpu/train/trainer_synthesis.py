@@ -53,6 +53,13 @@ class SynthesisTrainingConfig:
     patch_size: int = 0
     patch_strides: Tuple[int, ...] = ()
     loss_weights: LossWeights = field(default_factory=LossWeights)
+    # Decoder path (the published phase-2 pipeline,
+    # trainer_multiresolution_backpropagated_decoder.py): decode NeRF feature
+    # patches through the VAE decoder and reconstruct the cropped GT patch.
+    decode_patches: bool = False
+    crop_to_patch: bool = True
+    autoencoder_learning_rate: float = 1e-4
+    frozen_autoencoder_steps: int = 0
 
 
 RNG_STREAMS = ("ray_sampling", "sampling", "alpha_noise", "style_shuffle", "divergence")
@@ -80,12 +87,21 @@ class SynthesisTrainer:
             samples_per_image=self.cfg.samples_per_image,
             patch_size=self.cfg.patch_size,
             patch_strides=self.cfg.patch_strides or None,
+            decode_patches=self.cfg.decode_patches,
         )
+        group_lrs, freeze = None, None
+        if self.cfg.decode_patches:
+            # The autoencoder gets its own (freezable) learning rate
+            # (trainer_backpropagated_autoencoder.py:63-90, 118-121).
+            group_lrs = {"autoencoder": self.cfg.autoencoder_learning_rate}
+            freeze = {"autoencoder": self.cfg.frozen_autoencoder_steps}
         tx = make_optimizer(
             self.cfg.learning_rate,
             self.cfg.lr_gamma,
             self.cfg.lr_decay_iterations,
             self.cfg.weight_decay,
+            group_learning_rates=group_lrs,
+            group_freeze_steps=freeze,
         )
         return create_train_state(
             variables["params"], variables.get("batch_stats", {}), tx
@@ -117,6 +133,7 @@ class SynthesisTrainer:
             step=step,
             train=True,
             compute_divergence=compute_divergence,
+            decode_patches=self.cfg.decode_patches,
             rngs=split_rngs(key),
             mutable=["batch_stats"],
         )
@@ -131,28 +148,56 @@ class SynthesisTrainer:
         divergence_annealing = (1.0 / 100.0) ** (1.0 - step / self.cfg.max_steps)
         sharpness_annealing = jnp.minimum(1.0, step / self.cfg.max_steps)
 
+        # GT patch crop for the decoder path (trainer_multiresolution_
+        # backpropagated_decoder.py:86-92).
+        cropped_observations = None
+        if self.cfg.decode_patches and self.cfg.crop_to_patch:
+            from playableenvironments_tpu.render import sampling as sampling_lib
+
+            finest_positions = sampling_lib.split_strided_samples(
+                results["positions"], self.cfg.patch_size, self.cfg.patch_strides
+            )[0]
+            cropped_observations = sampling_lib.crop_region_from_patch_positions(
+                batch.observations,
+                finest_positions,
+                self.cfg.patch_size,
+                self.cfg.patch_strides[0],
+            )
+
         for pass_name in ("coarse", "fine"):
             if pass_name not in results:
                 continue
             global_results = results[pass_name]["global"]
             reconstructed = global_results["integrated_features"]
 
-            rec = losses.reconstruction_loss(sampled_observations, reconstructed)
-            rod = losses.ray_object_distance_loss(
-                sampled_observations,
-                reconstructed,
-                results["ray_object_distances"][..., static_objects:],
-            )
+            if self.cfg.decode_patches:
+                decoded = global_results["reconstructed_observations"]
+                target = (
+                    cropped_observations
+                    if cropped_observations is not None
+                    else batch.observations
+                )
+                rec = losses.image_reconstruction_loss(target, decoded)
+            else:
+                rec = losses.reconstruction_loss(sampled_observations, reconstructed)
             disp = jnp.mean(global_results["integrated_displacements_magnitude"])
             div = jnp.mean(global_results["integrated_divergence"])
 
             metrics[f"{pass_name}_reconstruction_loss"] = rec
-            metrics[f"{pass_name}_ray_object_distance_loss"] = rod
             metrics[f"{pass_name}_displacements_magnitude_loss"] = disp
             metrics[f"{pass_name}_divergence_loss"] = div
 
             total = total + w.reconstruction * rec
-            total = total + w.ray_object_distance * rod
+            if not self.cfg.decode_patches:
+                # Rays carry RGB only on the direct path; the decoder trainer
+                # does not use this loss (it renders feature patches).
+                rod = losses.ray_object_distance_loss(
+                    sampled_observations,
+                    reconstructed,
+                    results["ray_object_distances"][..., static_objects:],
+                )
+                metrics[f"{pass_name}_ray_object_distance_loss"] = rod
+                total = total + w.ray_object_distance * rod
             total = total + w.displacements_magnitude * disp
             total = total + w.divergence * divergence_annealing * div
 
@@ -180,14 +225,16 @@ class SynthesisTrainer:
             metrics[f"object_{object_idx}_attention_loss"] = att
             total = total + w.attention * att
 
-        # Bounding-box distance on dynamic objects (trainer.py:499-507).
-        bbox_loss, per_object_bbox = losses.bounding_box_distance_loss(
-            jax.lax.stop_gradient(batch.bounding_boxes),
-            results["reconstructed_bounding_boxes"][..., static_objects:, :],
-            batch.bounding_boxes_validity,
-        )
-        metrics["bounding_box_loss"] = bbox_loss
-        total = total + w.bounding_box * bbox_loss
+        # Bounding-box distance on dynamic objects (trainer.py:499-507);
+        # a scene with no dynamic objects has nothing to constrain.
+        if batch.bounding_boxes.shape[-2] > 0:
+            bbox_loss, per_object_bbox = losses.bounding_box_distance_loss(
+                jax.lax.stop_gradient(batch.bounding_boxes),
+                results["reconstructed_bounding_boxes"][..., static_objects:, :],
+                batch.bounding_boxes_validity,
+            )
+            metrics["bounding_box_loss"] = bbox_loss
+            total = total + w.bounding_box * bbox_loss
 
         # Pose statistics (logged, not optimized; trainer.py:509-530).
         for object_idx in range(static_objects, self.object_ids.objects_count):

@@ -1,0 +1,189 @@
+"""Shared experiment assembly: YAML config -> datasets, models, trainers.
+
+The YAML schema mirrors the reference's (configs/tennis/193_...yaml): `data`,
+`model`, `playable_model`, `training`, `playable_model_training`,
+`evaluation` sections. Entry scripts call `build_experiment` then drive the
+phase-specific loop.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+
+from playableenvironments_tpu import config as config_lib
+from playableenvironments_tpu.data.dataset import MulticameraVideoDataset
+from playableenvironments_tpu.render.environment_model import EnvironmentModel
+from playableenvironments_tpu.train.trainer_synthesis import (
+    LossWeights,
+    SynthesisTrainer,
+    SynthesisTrainingConfig,
+)
+from playableenvironments_tpu.utils.logger import Logger
+
+
+def load_yaml(path: str) -> Dict[str, Any]:
+    import yaml
+
+    with open(path) as f:
+        return yaml.safe_load(f)
+
+
+def loss_weights_from_dict(d: Dict[str, Any]) -> LossWeights:
+    return LossWeights(
+        reconstruction=float(d.get("reconstruction_loss_lambda", 1.0)),
+        perceptual=float(d.get("perceptual_loss_lambda", 0.0)),
+        ray_object_distance=float(d.get("ray_object_distance_loss_lambda", 0.0)),
+        bounding_box=float(d.get("bounding_box_loss_lambda", 0.0)),
+        displacements_magnitude=float(d.get("displacements_magnitude_loss_lambda", 0.0)),
+        divergence=float(d.get("divergence_loss_lambda", 0.0)),
+        opacity=float(d.get("opacity_loss_lambda", 0.0)),
+        attention=float(d.get("attention_loss_lambda", 0.0)),
+        sharpness=float(d.get("sharpness_loss_lambda", 0.0)),
+        sharpness_mean=float(d.get("sharpness_loss_mean", 0.5)),
+        sharpness_std=float(d.get("sharpness_loss_std", 0.15)),
+    )
+
+
+def synthesis_training_config(cfg: Dict[str, Any]) -> SynthesisTrainingConfig:
+    t = cfg["training"]
+    has_ae = "autoencoder" in cfg.get("model", {})
+    strides = ()
+    if has_ae:
+        from playableenvironments_tpu.models.autoencoder import autoencoder_strides
+
+        scene = config_lib.scene_from_dict(cfg["model"], cfg.get("playable_model"))
+        strides = tuple(autoencoder_strides(scene.autoencoder))
+    return SynthesisTrainingConfig(
+        learning_rate=float(t.get("learning_rate", 5e-4)),
+        lr_gamma=float(t.get("lr_gamma", 0.926118)),
+        lr_decay_iterations=int(t.get("lr_decay_iterations", 10000)),
+        weight_decay=float(t.get("weight_decay", 0.0)),
+        max_steps=int(t.get("max_steps", 300000)),
+        samples_per_image=int(t.get("samples_per_image", 144)),
+        perturb=bool(t.get("perturb", True)),
+        shuffle_style=bool(t.get("shuffle_style", True)),
+        patch_size=int(t.get("patch_size", 0)),
+        patch_strides=strides,
+        loss_weights=loss_weights_from_dict(t.get("loss_weights", {})),
+        decode_patches=has_ae and int(t.get("patch_size", 0)) > 0,
+        crop_to_patch=bool(t.get("crop_to_patch", True)),
+        autoencoder_learning_rate=float(t.get("autoencoder_learning_rate", 1e-4)),
+        frozen_autoencoder_steps=int(t.get("frozen_autoencoder_steps", 0)),
+    )
+
+
+def build_dataset(
+    cfg: Dict[str, Any], split: str, batching_key: str = "batching"
+) -> MulticameraVideoDataset:
+    data_cfg = cfg["data"]
+    batching = cfg.get("training", {}).get(batching_key, {})
+    target = data_cfg.get("target_input_size")
+    target_size = (int(target[1]), int(target[0])) if target else None  # (h, w)
+    return MulticameraVideoDataset(
+        os.path.join(data_cfg["data_root"], split),
+        observations_count=int(batching.get("observations_count", 1)),
+        skip_frames=int(batching.get("skip_frames", 0)),
+        observation_stacking=int(batching.get("observation_stacking", 1)),
+        allowed_cameras=batching.get("allowed_cameras"),
+        target_size=target_size,
+    )
+
+
+def build_environment_model(cfg: Dict[str, Any]) -> EnvironmentModel:
+    scene = config_lib.scene_from_dict(cfg["model"], cfg.get("playable_model"))
+    training_cameras = cfg.get("training", {}).get("batching", {}).get(
+        "allowed_cameras"
+    )
+    return EnvironmentModel(
+        scene,
+        focal_length_multiplier=float(
+            cfg.get("data", {}).get("focal_length_multiplier", 1.0)
+        ),
+        enable_camera_offsets=bool(
+            cfg.get("model", {}).get("enable_camera_parameters_offsets", False)
+        ),
+        camera_memory_size=int(
+            cfg.get("model", {}).get("camera_parameters_memory_size", 1)
+        ),
+        training_cameras_count=len(training_cameras) if training_cameras else 1,
+    )
+
+
+def output_dirs(cfg: Dict[str, Any]) -> Tuple[str, str]:
+    """(results_dir, checkpoints_dir) per the logging section
+    (utils/configuration.py:244-266's directory structure)."""
+    run_name = cfg.get("logging", {}).get("run_name", "run")
+    results = os.path.join(
+        cfg.get("logging", {}).get("output_root", "results"), run_name
+    )
+    checkpoints = os.path.join(
+        cfg.get("logging", {}).get("checkpoints_root", "checkpoints"), run_name
+    )
+    os.makedirs(results, exist_ok=True)
+    os.makedirs(checkpoints, exist_ok=True)
+    return results, checkpoints
+
+
+def run_synthesis_training(
+    cfg: Dict[str, Any],
+    max_steps_override: Optional[int] = None,
+    seed: int = 0,
+) -> str:
+    """The phase-2 training loop (reference train.py:73-100): epochs of
+    shuffled batches, periodic logging/checkpointing, resume from latest.
+
+    :return: checkpoints directory."""
+    from playableenvironments_tpu.train import checkpointing
+
+    results_dir, checkpoints_dir = output_dirs(cfg)
+    logger = Logger(results_dir, cfg.get("logging", {}).get("run_name", "run"))
+
+    model = build_environment_model(cfg)
+    train_cfg = synthesis_training_config(cfg)
+    if max_steps_override:
+        train_cfg = dataclasses.replace(train_cfg, max_steps=max_steps_override)
+    trainer = SynthesisTrainer(model, train_cfg)
+
+    dataset = build_dataset(cfg, "train")
+    batching = cfg["training"]["batching"]
+    batch_size = int(batching.get("batch_size", 8))
+
+    example = next(dataset.iterate_batches(batch_size, seed=seed))
+    state = trainer.init_state(jax.random.PRNGKey(seed), example)
+
+    latest = checkpointing.latest_checkpoint(checkpoints_dir)
+    if latest:
+        state = checkpointing.restore_checkpoint(latest, state)
+        logger.print(f"resumed from {latest} at step {int(state.step)}")
+
+    step_fn = jax.jit(trainer.train_step, donate_argnums=0)
+    log_interval = int(cfg["training"].get("log_interval_steps", 10))
+    save_freq = int(cfg["training"].get("save_freq", 30000))
+    from playableenvironments_tpu.utils.meters import AverageMeter, TimeMeter
+
+    meter, timer = AverageMeter(), TimeMeter()
+    epoch = 0
+    while int(state.step) < train_cfg.max_steps:
+        for batch in dataset.iterate_batches(batch_size, seed=seed + epoch):
+            key = jax.random.fold_in(jax.random.PRNGKey(seed), int(state.step))
+            with timer.section("step"):
+                state, metrics = step_fn(state, batch, key)
+            step = int(state.step)
+            meter.add({k: float(v) for k, v in metrics.items()})
+            if step % log_interval == 0:
+                logged = meter.pop_all()
+                logged["steps_per_sec"] = 1.0 / max(timer.summary().get("step", 1), 1e-9)
+                logger.log(logged, step)
+            if step % save_freq == 0 or step >= train_cfg.max_steps:
+                checkpointing.save_checkpoint(checkpoints_dir, state)
+            if step >= train_cfg.max_steps:
+                break
+        epoch += 1
+    checkpointing.save_checkpoint(checkpoints_dir, state)
+    logger.close()
+    return checkpoints_dir

@@ -1,0 +1,155 @@
+"""Phase-3 action-module training entry point
+(reference train_playable_model.py).
+
+Loads the frozen phase-2 environment checkpoint, wraps it in the playable
+model, and trains the animation modules with sequence-length annealing.
+
+Usage: python -m playableenvironments_tpu.cli.train_playable --config <yaml>
+       --environment_checkpoint <path>
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main():
+    parser = argparse.ArgumentParser(description="Phase-3 playable-model training")
+    parser.add_argument("--config", required=True)
+    parser.add_argument(
+        "--environment_checkpoint", default=None,
+        help="phase-2 checkpoint path (defaults to latest in its directory)",
+    )
+    parser.add_argument("--max_steps", type=int, default=None)
+    parser.add_argument("--seed", type=int, default=0)
+    args = parser.parse_args()
+
+    import jax
+
+    from playableenvironments_tpu.cli.common import (
+        build_dataset,
+        build_environment_model,
+        load_yaml,
+        output_dirs,
+        synthesis_training_config,
+    )
+    from playableenvironments_tpu.render.playable_model import PlayableEnvironmentModel
+    from playableenvironments_tpu.train import checkpointing
+    from playableenvironments_tpu.train.trainer_playable import (
+        PlayableLossWeights,
+        PlayableTrainer,
+        PlayableTrainingConfig,
+    )
+    from playableenvironments_tpu.train.trainer_synthesis import SynthesisTrainer
+    from playableenvironments_tpu.utils.logger import Logger
+    from playableenvironments_tpu.utils.meters import AverageMeter
+
+    import os
+
+    cfg = load_yaml(args.config)
+    results_dir, checkpoints_dir = output_dirs(cfg)
+    # Phase-3 checkpoints live in their own subdirectory: the reference keeps
+    # phases in separate run directories (README.md:144-155); sharing one
+    # run_name must not mix phase-2 and phase-3 state structures.
+    checkpoints_dir = os.path.join(checkpoints_dir, "playable")
+    os.makedirs(checkpoints_dir, exist_ok=True)
+    logger = Logger(results_dir, cfg.get("logging", {}).get("run_name", "playable"))
+
+    env_model = build_environment_model(cfg)
+
+    t = cfg["playable_model_training"]
+    w = t.get("loss_weights", {})
+    batching = t.get("batching", {})
+    train_cfg = PlayableTrainingConfig(
+        learning_rate=float(t.get("learning_rate", 5e-4)),
+        lr_gamma=float(t.get("lr_gamma", 0.926118)),
+        lr_decay_iterations=int(t.get("lr_decay_iterations", 10000)),
+        max_steps=args.max_steps or int(t.get("max_steps", 300000)),
+        ground_truth_observations_start=int(t.get("ground_truth_observations_start", 6)),
+        ground_truth_observations_end=int(t.get("ground_truth_observations_end", 6)),
+        ground_truth_observations_steps=int(t.get("ground_truth_observations_steps", 16000)),
+        observations_count=int(batching.get("observations_count", 9)),
+        observations_count_start=int(
+            batching.get("observations_count_start", batching.get("observations_count", 9))
+        ),
+        observations_count_steps=int(batching.get("observations_count_steps", 25000)),
+        mutual_information_alpha=float(t.get("mutual_information_estimation_alpha", 0.2)),
+        mutual_information_entropy_lambda=float(t.get("mutual_information_entropy_lambda", 1.0)),
+        loss_weights=PlayableLossWeights(
+            rotations_rec=float(w.get("rotations_rec_lambda", 1.0)),
+            translations_rec=float(w.get("translations_rec_lambda", 1.0)),
+            style_rec=float(w.get("style_rec_lambda", 1.0)),
+            deformation_rec=float(w.get("deformation_rec_lambda", 1.0)),
+            entropy=float(w.get("entropy_lambda", 0.0)),
+            action_directions_kl=float(w.get("action_directions_kl_lambda", 1e-4)),
+            action_mutual_information=float(w.get("action_mutual_information_lambda", 0.15)),
+            acmv=float(w.get("acmv_lambda", 0.0)),
+            gan=float(w.get("gan_lambda", 0.0)),
+        ),
+    )
+    use_gan = train_cfg.loss_weights.gan > 0.0
+    playable = PlayableEnvironmentModel(env_model.scene, with_discriminators=use_gan)
+    trainer = PlayableTrainer(env_model, playable, train_cfg)
+
+    # Dataset with the phase-3 batching section.
+    dataset = build_dataset(
+        {**cfg, "training": {"batching": batching}}, "train"
+    )
+    batch_size = int(batching.get("batch_size", 16))
+    dataset.set_observations_count(train_cfg.observations_count_at(0))
+    example = next(dataset.iterate_batches(batch_size, seed=args.seed))
+
+    # Frozen phase-2 weights.
+    env_checkpoint = args.environment_checkpoint
+    if env_checkpoint is None:
+        raise SystemExit("--environment_checkpoint is required")
+    synth_trainer = SynthesisTrainer(env_model, synthesis_training_config(cfg))
+    env_state = synth_trainer.init_state(jax.random.PRNGKey(args.seed), example)
+    env_params, env_batch_stats = checkpointing.restore_params(
+        env_checkpoint, env_state.params, env_state.batch_stats
+    )
+
+    state = trainer.init_state(
+        jax.random.PRNGKey(args.seed), example, env_params, env_batch_stats
+    )
+    latest = checkpointing.latest_checkpoint(checkpoints_dir)
+    if latest:
+        state = checkpointing.restore_checkpoint(latest, state)
+        logger.print(f"resumed from {latest}")
+
+    step_fn = jax.jit(trainer.train_step)
+    disc_fn = jax.jit(trainer.discriminator_step) if use_gan else None
+    meter = AverageMeter()
+    log_interval = int(t.get("log_interval_steps", 10))
+    save_freq = int(t.get("save_freq", 10000))
+    epoch = 0
+    current_length = dataset.observations_count
+    while int(state.step) < train_cfg.max_steps:
+        # Sequence-length annealing re-indexes the dataset
+        # (playable_model_trainer.py:537-561).
+        target_length = train_cfg.observations_count_at(int(state.step))
+        if target_length != current_length:
+            dataset.set_observations_count(target_length)
+            current_length = target_length
+        for batch in dataset.iterate_batches(batch_size, seed=args.seed + epoch):
+            key = jax.random.fold_in(jax.random.PRNGKey(args.seed), int(state.step))
+            state, metrics = step_fn(state, batch, key)
+            if disc_fn is not None:
+                state, disc_metrics = disc_fn(state, batch, key)
+                metrics = {**metrics, **disc_metrics}
+            step = int(state.step)
+            meter.add({k: float(v) for k, v in metrics.items()})
+            if step % log_interval == 0:
+                logger.log(meter.pop_all(), step)
+            if step % save_freq == 0 or step >= train_cfg.max_steps:
+                checkpointing.save_checkpoint(checkpoints_dir, state)
+            if step >= train_cfg.max_steps:
+                break
+        epoch += 1
+    checkpointing.save_checkpoint(checkpoints_dir, state)
+    logger.close()
+    print(f"playable training complete; checkpoints in {checkpoints_dir}")
+
+
+if __name__ == "__main__":
+    main()

@@ -131,6 +131,13 @@ class PlayableTrainer:
         encoding = self._scene_encoding(
             environment_params, environment_batch_stats, example_batch, key
         )
+        # The dynamics rollout only traces with >= 2 observations; pad the
+        # init encoding so every parameter exists even when the example batch
+        # is a single frame (e.g. the play CLI's T=1 batches).
+        if encoding.object_rotations.shape[1] < 2:
+            encoding = jax.tree.map(
+                lambda x: jnp.concatenate([x, x], axis=1), encoding
+            )
         rngs = {
             "params": key,
             "action_sampling": jax.random.PRNGKey(1),

@@ -1,0 +1,172 @@
+"""Full-pipeline CLI smoke test: synthetic data -> phase-2 training ->
+reconstructed dataset -> evaluation -> phase-3 training -> scripted play.
+
+This is the framework's end-to-end contract: every entry point runs on the
+smoke config without real TPU hardware.
+"""
+
+import os
+import shutil
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+import yaml
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CONFIG_SRC = os.path.join(REPO, "configs", "synthetic_smoke.yaml")
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    """A working directory with synthetic data and an adjusted config."""
+    from playableenvironments_tpu.data.synthetic import make_synthetic_dataset
+
+    root = tmp_path_factory.mktemp("cli")
+    data_root = os.path.join(root, "data", "synthetic")
+    make_synthetic_dataset(data_root, videos=1, frames=8, height=16, width=24)
+
+    cfg = yaml.safe_load(open(CONFIG_SRC))
+    cfg["data"]["data_root"] = data_root
+    cfg["logging"]["output_root"] = os.path.join(root, "results")
+    cfg["logging"]["checkpoints_root"] = os.path.join(root, "checkpoints")
+    cfg["training"]["max_steps"] = 6
+    cfg["training"]["save_freq"] = 6
+    cfg["playable_model_training"]["max_steps"] = 4
+    cfg["playable_model_training"]["save_freq"] = 4
+    config_path = os.path.join(root, "smoke.yaml")
+    yaml.safe_dump(cfg, open(config_path, "w"))
+    return {"root": str(root), "config": config_path, "cfg": cfg}
+
+
+def run_cli(module, *args):
+    """Invoke a CLI main in-process (keeps the forced-CPU JAX config)."""
+    import importlib
+
+    argv = sys.argv
+    sys.argv = [module] + list(args)
+    try:
+        importlib.import_module(module).main()
+    finally:
+        sys.argv = argv
+
+
+def _latest_checkpoint(workdir):
+    from playableenvironments_tpu.train.checkpointing import latest_checkpoint
+
+    return latest_checkpoint(
+        os.path.join(workdir["cfg"]["logging"]["checkpoints_root"], "synthetic_smoke")
+    )
+
+
+@pytest.fixture(scope="module")
+def phase2_checkpoint(workdir):
+    """Phase-2 training via the CLI; returns the resulting checkpoint path."""
+    run_cli(
+        "playableenvironments_tpu.cli.train", "--config", workdir["config"]
+    )
+    ckpt = _latest_checkpoint(workdir)
+    assert ckpt is not None
+    return ckpt
+
+
+def test_phase2_training_cli(workdir, phase2_checkpoint):
+    assert os.path.isdir(phase2_checkpoint)
+    metrics = os.path.join(
+        workdir["cfg"]["logging"]["output_root"], "synthetic_smoke", "metrics.jsonl"
+    )
+    assert os.path.getsize(metrics) > 0
+
+
+def test_generate_and_evaluate_cli(workdir, phase2_checkpoint):
+    ckpt = phase2_checkpoint
+    out = os.path.join(workdir["root"], "reconstructed")
+    run_cli(
+        "playableenvironments_tpu.cli.generate_reconstructed_dataset",
+        "--config", workdir["config"], "--checkpoint", ckpt, "--output", out,
+        "--batch_size", "2",
+    )
+    assert os.path.isdir(os.path.join(out, "00000", "00000"))
+
+    results_path = os.path.join(workdir["root"], "eval.yaml")
+    run_cli(
+        "playableenvironments_tpu.cli.evaluate_reconstructed_dataset",
+        "--config", workdir["config"], "--generated", out,
+        "--output", results_path, "--window_size", "8", "--no_fid",
+    )
+    results = yaml.safe_load(open(results_path))
+    assert np.isfinite(results["mse"]) and np.isfinite(results["psnr"])
+
+
+def test_camera_manipulation_cli(workdir, phase2_checkpoint):
+    ckpt = phase2_checkpoint
+    out = os.path.join(workdir["root"], "camera_manip")
+    run_cli(
+        "playableenvironments_tpu.cli.generate_reconstructed_camera_manipulation_dataset",
+        "--config", workdir["config"], "--checkpoint", ckpt, "--output", out,
+        "--observations_count", "4",
+    )
+    cam_dir = os.path.join(out, "00000", "00000")
+    assert len([f for f in os.listdir(cam_dir) if f.endswith(".png")]) >= 4
+
+
+@pytest.fixture(scope="module")
+def phase3_checkpoint(workdir, phase2_checkpoint):
+    """Phase-3 training via the CLI; returns its checkpoint path."""
+    run_cli(
+        "playableenvironments_tpu.cli.train_playable",
+        "--config", workdir["config"],
+        "--environment_checkpoint", phase2_checkpoint,
+    )
+    from playableenvironments_tpu.train.checkpointing import latest_checkpoint
+
+    ckpt = latest_checkpoint(os.path.join(
+        workdir["cfg"]["logging"]["checkpoints_root"], "synthetic_smoke", "playable"))
+    assert ckpt is not None
+    return ckpt
+
+
+def test_phase3_training_and_play_cli(workdir, phase2_checkpoint, phase3_checkpoint):
+    env_ckpt = phase2_checkpoint
+    playable_ckpt = phase3_checkpoint
+
+    play_out = os.path.join(workdir["root"], "play")
+    run_cli(
+        "playableenvironments_tpu.cli.play",
+        "--config", workdir["config"],
+        "--environment_checkpoint", env_ckpt,
+        "--playable_checkpoint", playable_ckpt,
+        "--script", "0,1,2",
+        "--output", play_out,
+    )
+    frames = os.listdir(os.path.join(play_out, "frames"))
+    assert len(frames) == 4  # initial + 3 scripted actions
+    assert os.path.isfile(os.path.join(play_out, "sequence.mp4"))
+    assert os.path.isfile(os.path.join(play_out, "sequence.gif"))
+
+
+def test_playability_generation_and_evaluation_cli(
+    workdir, phase2_checkpoint, phase3_checkpoint
+):
+    env_ckpt = phase2_checkpoint
+    playable_ckpt = phase3_checkpoint
+
+    out = os.path.join(workdir["root"], "playability")
+    run_cli(
+        "playableenvironments_tpu.cli.generate_reconstructed_playability_dataset",
+        "--config", workdir["config"],
+        "--environment_checkpoint", env_ckpt,
+        "--playable_checkpoint", playable_ckpt,
+        "--output", out, "--observations_count", "4",
+    )
+    assert os.path.isdir(os.path.join(out, "00000", "00000"))
+
+    results_path = os.path.join(workdir["root"], "playability_eval.yaml")
+    run_cli(
+        "playableenvironments_tpu.cli.evaluate_reconstructed_playability_dataset",
+        "--config", workdir["config"], "--generated", out,
+        "--output", results_path,
+    )
+    results = yaml.safe_load(open(results_path))
+    assert "mse" in results

@@ -1,0 +1,202 @@
+"""Tests for metrics, distribution metrics, creators, and evaluators."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from playableenvironments_tpu.eval import metrics as M
+from playableenvironments_tpu.eval.distribution_metrics import (
+    IncrementalFID,
+    IncrementalFVD,
+    default_image_embedder,
+)
+from playableenvironments_tpu.eval.perceptual import (
+    LPIPS,
+    VGGFeatures,
+    init_vgg19,
+    perceptual_loss,
+)
+
+
+def test_mse_psnr_ssim_identical(key):
+    img = jax.random.uniform(key, (2, 32, 32, 3))
+    np.testing.assert_allclose(np.asarray(M.mse(img, img)), 0.0, atol=1e-7)
+    assert np.all(np.asarray(M.psnr(img, img)) > 90)
+    np.testing.assert_allclose(np.asarray(M.ssim(img, img)), 1.0, atol=1e-4)
+
+
+def test_ssim_orders_degradations(key):
+    img = jax.random.uniform(key, (1, 32, 32, 3))
+    k1, k2 = jax.random.split(key)
+    slightly = jnp.clip(img + 0.05 * jax.random.normal(k1, img.shape), 0, 1)
+    heavily = jnp.clip(img + 0.5 * jax.random.normal(k2, img.shape), 0, 1)
+    s_slight = float(M.ssim(img, slightly)[0])
+    s_heavy = float(M.ssim(img, heavily)[0])
+    assert 1.0 > s_slight > s_heavy
+
+
+def test_motion_masked_mse_ignores_static_regions(key):
+    base = jnp.zeros((4, 16, 16, 3))
+    moving = base.at[:, 4:8, 4:8, :].set(
+        jnp.arange(4.0)[:, None, None, None] / 4.0
+    )
+    # Generated differs ONLY in a static region -> motion-masked error ~0.
+    generated = moving.at[:, 12:, 12:, :].add(0.5)
+    masked = float(M.motion_masked_mse(moving, generated))
+    full = float(M.mse(moving, generated).mean())
+    assert masked < 1e-6 and full > 1e-3
+
+
+def test_greedy_matching_and_detection_score():
+    ref = np.asarray([[0.2, 0.2], [0.8, 0.8]])
+    det = np.asarray([[0.82, 0.81], [0.19, 0.21]])
+    matches = M.greedy_box_matching(ref, det)
+    assert len(matches) == 2
+    assert {(r, d) for r, d, _ in matches} == {(0, 1), (1, 0)}
+
+    score = M.DetectionScore(match_threshold=0.1)
+    score.update(ref, det)
+    score.update(ref, np.zeros((0, 2)))  # all missed
+    out = score.results()
+    np.testing.assert_allclose(out["missed_detection_rate"], 0.5, atol=1e-6)
+    assert out["average_detection_distance"] < 0.05
+
+
+def test_frechet_distance_properties(rng):
+    a = rng.normal(size=(500, 8)).astype(np.float32)
+    b = rng.normal(size=(500, 8)).astype(np.float32) + 3.0
+    assert M.frechet_from_features(a, a) < 1e-3
+    assert M.frechet_from_features(a, b) > 10
+
+
+def test_incremental_fid_fvd(rng, key):
+    fid = IncrementalFID(default_image_embedder(key, (16, 16)))
+    imgs_a = rng.uniform(size=(8, 16, 16, 3)).astype(np.float32)
+    imgs_b = np.clip(imgs_a + 0.3 * rng.normal(size=imgs_a.shape), 0, 1).astype(np.float32)
+    fid.update_reference(imgs_a[:4]); fid.update_reference(imgs_a[4:])
+    fid.update_generated(imgs_b)
+    noisy_fid = fid.compute()
+
+    fid_same = IncrementalFID(default_image_embedder(key, (16, 16)))
+    fid_same.update_reference(imgs_a)
+    fid_same.update_generated(imgs_a.copy())
+    assert fid_same.compute() < 1e-3 < noisy_fid
+
+    fvd = IncrementalFVD()
+    vids = rng.uniform(size=(2, 4, 64, 64, 3)).astype(np.float32)
+    fvd.update_reference(vids)
+    fvd.update_generated(vids.copy())
+    assert fvd.compute() < 1e-2
+
+
+def test_action_space_metrics(rng):
+    # Two clearly separable actions moving +x and -x.
+    movements = np.concatenate(
+        [rng.normal(loc=(1, 0), scale=0.1, size=(50, 2)),
+         rng.normal(loc=(-1, 0), scale=0.1, size=(50, 2))]
+    )
+    actions = np.asarray([0] * 50 + [1] * 50)
+    out = M.action_variance(movements, actions, 2)
+    assert out["variance_ratio"] < 0.1
+    assert M.delta_mse_action_accuracy(movements, actions, 2) > 0.95
+    assert M.action_classification_score(movements, actions) > 0.95
+
+
+def test_vgg_features_and_perceptual_loss(key):
+    variables = init_vgg19(key, cuts=3)
+    a = jax.random.uniform(key, (2, 32, 32, 3))
+    loss_same, levels = perceptual_loss(variables, a, a, cuts=3)
+    assert len(levels) == 3
+    np.testing.assert_allclose(float(loss_same), 0.0, atol=1e-6)
+    b = jnp.clip(a + 0.3, 0, 1)
+    loss_diff, _ = perceptual_loss(variables, a, b, cuts=3)
+    assert float(loss_diff) > 0
+
+
+def test_lpips_shape_and_identity(key):
+    net = LPIPS()
+    a = jax.random.uniform(key, (2, 32, 32, 3))
+    variables = net.init(key, a, a)
+    d_same = net.apply(variables, a, a)
+    assert d_same.shape == (2,)
+    np.testing.assert_allclose(np.asarray(d_same), 0.0, atol=1e-6)
+    d_diff = net.apply(variables, a, jnp.clip(a + 0.3, 0, 1))
+    assert np.all(np.asarray(d_diff) > 0)
+
+
+# ---------------------------------------------------------------------------
+# Creator + evaluator end to end
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def eval_setup(tmp_path_factory):
+    from test_environment_model import RNGS, tiny_scene
+    from playableenvironments_tpu.data.dataset import MulticameraVideoDataset
+    from playableenvironments_tpu.data.synthetic import make_synthetic_dataset
+    from playableenvironments_tpu.eval.creators import (
+        FrameRenderer,
+        ReconstructedDatasetCreator,
+    )
+    from playableenvironments_tpu.render.environment_model import EnvironmentModel
+
+    root = make_synthetic_dataset(
+        str(tmp_path_factory.mktemp("evalds")), videos=1, frames=6,
+        height=16, width=24,
+    )
+    test_dir = os.path.join(root, "test")
+    dataset = MulticameraVideoDataset(test_dir, observations_count=1)
+    batch = next(dataset.iterate_batches(batch_size=1))
+
+    model = EnvironmentModel(tiny_scene())
+    variables = model.init(
+        RNGS, *batch.environment_model_args(), samples_per_image=8
+    )
+    renderer = FrameRenderer(model, variables, image_size=(16, 24))
+    creator = ReconstructedDatasetCreator(renderer, batch_size=2)
+    out_root = str(tmp_path_factory.mktemp("recon"))
+    creator.reconstruct_dataset(dataset, out_root)
+    return root, test_dir, out_root
+
+
+def test_creator_writes_mirror_tree(eval_setup):
+    _, test_dir, out_root = eval_setup
+    cam = os.path.join(out_root, "00000", "00000")
+    assert os.path.isdir(cam)
+    frames = [f for f in os.listdir(cam) if f.endswith(".png")]
+    assert len(frames) == 6
+    assert os.path.isfile(os.path.join(cam, "cameras.pkl"))  # metadata copied
+    # The mirror loads as a dataset.
+    from playableenvironments_tpu.data.dataset import MulticameraVideoDataset
+
+    mirrored = MulticameraVideoDataset(out_root, observations_count=1)
+    assert len(mirrored) == 6
+
+
+def test_evaluator_identity_and_generated(eval_setup):
+    from playableenvironments_tpu.eval.evaluators import (
+        ReconstructedDatasetEvaluator,
+        save_results_yaml,
+    )
+
+    _, test_dir, out_root = eval_setup
+    evaluator = ReconstructedDatasetEvaluator(window_size=6, compute_fid=False)
+    # Identity: reference vs itself.
+    identity = evaluator.compute_metrics(test_dir, test_dir)
+    np.testing.assert_allclose(identity["mse"], 0.0, atol=1e-5)
+    assert identity["psnr"] > 40
+    np.testing.assert_allclose(identity["ssim"], 1.0, atol=1e-3)
+
+    # Untrained model render: valid metrics, clearly worse.
+    generated = evaluator.compute_metrics(test_dir, out_root)
+    assert generated["mse"] > identity["mse"]
+    assert np.isfinite(generated["psnr"])
+
+    import tempfile
+    path = os.path.join(tempfile.mkdtemp(), "results.yaml")
+    save_results_yaml(generated, path)
+    import yaml
+    loaded = yaml.safe_load(open(path))
+    assert "mse" in loaded

@@ -135,13 +135,36 @@ def main():
         origins, directions[:, :64], normals, w2o, style, deformation, in_scene,
     )
 
-    @jax.jit
-    def render(v, dirs):
-        out = composer.apply(
-            v, origins, dirs, normals, w2o, style, deformation, in_scene,
-            use_running_average=True,
-        )
-        return out["coarse"]["global"]["integrated_features"]
+    use_fast = os.environ.get("BENCH_PATH", "fused") == "fused"
+    if use_fast:
+        from playableenvironments_tpu.render import fast
+
+        fast_variables = {
+            "params": {"composer": variables["params"]},
+            "batch_stats": {"batch_stats": {}},
+        }
+        fast_variables["batch_stats"] = {
+            "composer": variables.get("batch_stats", {})
+        }
+
+        @jax.jit
+        def render(v, dirs):
+            out = fast.render_rays_fast(
+                scene, v, origins, dirs, normals, w2o, style, deformation,
+                in_scene,
+            )
+            return out["coarse"]["global"]["integrated_features"]
+
+        variables = fast_variables
+    else:
+
+        @jax.jit
+        def render(v, dirs):
+            out = composer.apply(
+                v, origins, dirs, normals, w2o, style, deformation, in_scene,
+                use_running_average=True,
+            )
+            return out["coarse"]["global"]["integrated_features"]
 
     # Warmup/compile.
     jax.block_until_ready(render(variables, directions))

@@ -151,3 +151,92 @@ def test_integration_matches_nerf_oracle(rng):
     np.testing.assert_allclose(np.asarray(out["integrated_features"]), expected_rgb, atol=1e-4)
     np.testing.assert_allclose(np.asarray(out["weights"]), w, atol=1e-5)
     np.testing.assert_allclose(np.asarray(out["depth"]), (w * t).sum(-1), atol=1e-4)
+
+
+def test_sortfree_compose_matches_sorted(rng):
+    """compose_integrate_sortfree must equal compose_objects + integrate."""
+    import jax.numpy as jnp
+
+    R = 5
+    sizes = (4, 7, 3)
+    all_t, all_a, all_f, all_d, all_v = [], [], [], [], []
+    for k, s in enumerate(sizes):
+        t = np.sort(rng.uniform(0.5, 9.0, size=(R, s)).astype(np.float32), axis=-1)
+        all_t.append(jnp.asarray(t))
+        all_a.append(jnp.asarray(rng.normal(size=(R, s)).astype(np.float32)))
+        all_f.append(jnp.asarray(rng.normal(size=(R, s, 6)).astype(np.float32)))
+        all_d.append(jnp.asarray(rng.normal(size=(R, s, 3)).astype(np.float32)))
+        all_v.append(jnp.asarray(rng.normal(size=(R, s)).astype(np.float32)))
+    directions = jnp.asarray(rng.normal(size=(R, 3)).astype(np.float32))
+
+    f, a, t, p, d, v = comp.compose_objects(all_f, all_a, all_t, all_d, all_d, all_v)
+    expected = comp.integrate(f, a, directions, t, d, v, perturb=False)
+
+    got = comp.compose_integrate_sortfree(
+        all_f, all_a, all_t, directions, all_d, all_v, perturb=False
+    )
+    for field in ("integrated_features", "opacity", "depth", "disparity",
+                  "integrated_divergence", "integrated_displacements_magnitude"):
+        np.testing.assert_allclose(
+            np.asarray(got[field]), np.asarray(expected[field]),
+            atol=1e-4, rtol=1e-4, err_msg=field,
+        )
+    # Weight sums match even though orderings differ.
+    np.testing.assert_allclose(
+        np.asarray(got["weights"].sum(-1)), np.asarray(expected["weights"].sum(-1)),
+        atol=1e-4,
+    )
+
+
+def test_sortfree_matches_sorted_on_exact_ties(rng):
+    """Exact t ties (common in eval: perturb=False midpoints of objects
+    sharing a z-range) must resolve like the stable concat sort."""
+    import jax.numpy as jnp
+
+    R = 4
+    # Object 1's t grid exactly equals object 0's; object 2 interleaves.
+    t0 = np.sort(rng.uniform(1.0, 8.0, size=(R, 5)).astype(np.float32), axis=-1)
+    t1 = t0.copy()
+    t2 = np.sort(rng.uniform(1.0, 8.0, size=(R, 3)).astype(np.float32), axis=-1)
+    t2[:, 1] = t0[:, 2]  # partial cross-object tie too
+    all_t = [jnp.asarray(t0), jnp.asarray(t1), jnp.asarray(t2)]
+    all_a, all_f, all_d, all_v = [], [], [], []
+    for t in all_t:
+        s = t.shape[-1]
+        all_a.append(jnp.asarray(rng.normal(size=(R, s)).astype(np.float32)))
+        all_f.append(jnp.asarray(rng.normal(size=(R, s, 6)).astype(np.float32)))
+        all_d.append(jnp.asarray(rng.normal(size=(R, s, 3)).astype(np.float32)))
+        all_v.append(jnp.asarray(rng.normal(size=(R, s)).astype(np.float32)))
+    directions = jnp.asarray(rng.normal(size=(R, 3)).astype(np.float32))
+
+    f, a, t, p, d, v = comp.compose_objects(all_f, all_a, all_t, all_d, all_d, all_v)
+    expected = comp.integrate(f, a, directions, t, d, v, perturb=False)
+    got = comp.compose_integrate_sortfree(
+        all_f, all_a, all_t, directions, all_d, all_v, perturb=False
+    )
+    for field in ("integrated_features", "opacity", "depth"):
+        np.testing.assert_allclose(
+            np.asarray(got[field]), np.asarray(expected[field]),
+            atol=1e-4, rtol=1e-4, err_msg=field,
+        )
+
+
+def test_sortfree_gradients_flow(rng):
+    import jax
+    import jax.numpy as jnp
+
+    t1 = jnp.asarray(np.sort(rng.uniform(1, 5, (2, 4)).astype(np.float32), -1))
+    t2 = jnp.asarray(np.sort(rng.uniform(1, 5, (2, 6)).astype(np.float32), -1))
+    a1 = jnp.asarray(rng.normal(size=(2, 4)).astype(np.float32))
+    a2 = jnp.asarray(rng.normal(size=(2, 6)).astype(np.float32))
+    f1 = jnp.asarray(rng.normal(size=(2, 4, 3)).astype(np.float32))
+    f2 = jnp.asarray(rng.normal(size=(2, 6, 3)).astype(np.float32))
+    dirs = jnp.ones((2, 3))
+
+    def loss(a1_):
+        out = comp.compose_integrate_sortfree([f1, f2], [a1_, a2], [t1, t2], dirs)
+        return jnp.sum(out["integrated_features"])
+
+    g = jax.grad(loss)(a1)
+    assert np.isfinite(np.asarray(g)).all()
+    assert np.abs(np.asarray(g)).sum() > 0

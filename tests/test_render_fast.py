@@ -1,0 +1,83 @@
+"""Parity: the fast (fused-kernel) render path vs the flax SceneComposer in
+eval mode, on CPU with the kernel in interpret mode."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from playableenvironments_tpu.render import fast
+from playableenvironments_tpu.render.composer import SceneComposer
+from test_models_nerf import make_scene, make_object_cfg
+from playableenvironments_tpu.config import (
+    PositionalEncoderConfig,
+    RayBenderConfig,
+)
+
+
+def scene_with_bender():
+    import dataclasses
+
+    scene = make_scene(objects_counts=(1, 1), static_models=1)
+    player = dataclasses.replace(
+        scene.object_models[1],
+        bender=RayBenderConfig(
+            kind="positional", layers_width=16, layers_count=2, skip_layer_idx=1,
+            position_encoder=PositionalEncoderConfig(octaves=2, num_steps=100),
+        ),
+    )
+    return dataclasses.replace(scene, object_models=(scene.object_models[0], player))
+
+
+@pytest.mark.parametrize("apply_activation", [False, True])
+def test_fast_path_matches_composer(key, apply_activation):
+    import dataclasses
+
+    scene = dataclasses.replace(
+        scene_with_bender(), apply_activation=apply_activation
+    )
+    composer = SceneComposer(scene)
+    n_obj, rays = 2, 6
+    origins = jnp.zeros((2, 3)).at[:, 2].set(3.0)
+    directions = jax.random.normal(key, (2, rays, 3)) * 0.2 + jnp.asarray(
+        [0.0, 0.0, -1.0]
+    )
+    normals = jnp.asarray([0.0, 0.0, -1.0])[None].repeat(2, 0)
+    w2o = jnp.eye(4)[None, None].repeat(2, 0).repeat(n_obj, 1)
+    style = jax.random.normal(key, (2, n_obj, 8))
+    deformation = jax.random.normal(key, (2, n_obj, 4))
+    in_scene = jnp.ones((2, n_obj), dtype=bool)
+
+    variables = composer.init(
+        key, origins, directions, normals, w2o, style, deformation, in_scene
+    )
+    # Populate batch stats with one training pass so folding is non-trivial.
+    _, mutated = composer.apply(
+        variables, origins, directions, normals, w2o, style, deformation,
+        in_scene, mutable=["batch_stats"],
+    )
+    variables = {"params": variables["params"], "batch_stats": mutated["batch_stats"]}
+
+    expected = composer.apply(
+        variables, origins, directions, normals, w2o, style, deformation,
+        in_scene, use_running_average=True,
+    )
+    got = fast.render_rays_fast(
+        scene, {"params": {"composer": variables["params"]},
+                "batch_stats": {"composer": variables["batch_stats"]}},
+        origins, directions, normals, w2o, style, deformation, in_scene,
+        block_points=64, interpret=True,
+    )
+
+    for field in ("integrated_features", "opacity", "depth"):
+        np.testing.assert_allclose(
+            np.asarray(got["coarse"]["global"][field]),
+            np.asarray(expected["coarse"]["global"][field]),
+            atol=5e-2, rtol=5e-2,
+        )
+    # Per-object outputs too.
+    np.testing.assert_allclose(
+        np.asarray(got["coarse"]["object_1"]["opacity"]),
+        np.asarray(expected["coarse"]["object_1"]["opacity"]),
+        atol=5e-2, rtol=5e-2,
+    )

@@ -98,6 +98,131 @@ def build_scene():
     )
 
 
+def bench_interactive_fps():
+    """Interactive frame rate: one full 512x288 frame per generate_next step
+    (SURVEY.md §3.3 — the reference's fps bottleneck; saved videos there are
+    5-10 fps keyboard-paced, BASELINE.md north star is >=30 fps on one chip).
+    The frame is rendered the published way: NeRF features on the AE's strided
+    grids (strides 4+8) + decoder upsample, all via the fused fast path.
+    """
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+
+    from playableenvironments_tpu.config import AutoencoderConfig
+    from playableenvironments_tpu.models.autoencoder import (
+        MultiresAutoencoder,
+        autoencoder_strides,
+        features_count_by_layer,
+    )
+    from playableenvironments_tpu.render import fast
+    from playableenvironments_tpu.render.composer import SceneComposer
+    from playableenvironments_tpu.scene.encoding import SceneEncoding
+
+    ae_cfg = AutoencoderConfig()  # strides (4, 8), 64+128 = 192 features
+    scene = dataclasses.replace(build_scene(), autoencoder=ae_cfg)
+    assert sum(features_count_by_layer(ae_cfg)) == 192
+
+    height, width = 288, 512
+    n_obj = 4
+    key = jax.random.PRNGKey(0)
+
+    encoding = SceneEncoding(
+        camera_rotations=jnp.asarray([[[[ -0.15, 0.0, 0.0]]]]),
+        camera_translations=jnp.asarray([[[[0.0, -30.0, 10.0]]]]),
+        focals=jnp.full((1, 1, 1), 600.0),
+        object_rotations=jnp.zeros((1, 1, n_obj, 3)),
+        object_translations=jnp.zeros((1, 1, n_obj, 3))
+        .at[:, :, 2, 1].set(-5.0)
+        .at[:, :, 3, 1].set(-10.0),
+        object_style=jnp.ones((1, 1, n_obj, 64)) * 0.1,
+        object_deformation=jnp.ones((1, 1, n_obj, 32)) * 0.1,
+        object_in_scene=jnp.ones((1, 1, n_obj), dtype=bool),
+    )
+
+    composer = SceneComposer(scene)
+    dirs_dummy = jax.random.normal(key, (1, 1, 1, 64, 3))
+    origins = jnp.zeros((1, 1, 1, 3))
+    normals = jnp.zeros((1, 1, 1, 3)).at[..., 2].set(-1.0)
+    w2o = jnp.broadcast_to(jnp.eye(4), (1, 1, 1, n_obj, 4, 4))
+    comp_vars = jax.jit(composer.init)(
+        key, origins, dirs_dummy, normals, w2o,
+        encoding.object_style[:, :, None],
+        encoding.object_deformation[:, :, None],
+        encoding.object_in_scene[:, :, None],
+    )
+
+    strides = autoencoder_strides(ae_cfg)
+    counts = features_count_by_layer(ae_cfg)
+    ae = MultiresAutoencoder(ae_cfg)
+    dummy_levels = [
+        jnp.zeros((1, height // s, width // s, c)) for s, c in zip(strides, counts)
+    ]
+    ae_vars = jax.jit(
+        lambda k: ae.init(k, dummy_levels, False, method=MultiresAutoencoder.decode)
+    )(key)
+
+    variables = {
+        "params": {
+            "composer": comp_vars["params"],
+            "autoencoder": ae_vars["params"],
+        },
+        "batch_stats": {
+            "composer": comp_vars.get("batch_stats", {}),
+            "autoencoder": ae_vars.get("batch_stats", {}),
+        },
+    }
+
+    @jax.jit
+    def render_frame(v, enc):
+        return fast.render_frame_fast(
+            scene, v, enc, (height, width), patch_strides=strides
+        )
+
+    frame = jax.block_until_ready(render_frame(variables, encoding))
+    assert frame.shape[-3:] == (height, width, 3), frame.shape
+
+    # Device-side frame time, measured as a lax.scan chain of N sequential
+    # frames inside ONE executable (each frame's input depends on the
+    # previous frame's checksum, so nothing pipelines or folds away). This
+    # isolates compute from the benchmark harness's tunneled-TPU dispatch
+    # and transfer overheads, which a local TPU host does not pay.
+    iters = int(os.environ.get("BENCH_ITERS", 20))
+
+    @jax.jit
+    def chained(v, enc):
+        def body(carry, _):
+            e = enc.replace(
+                object_translations=enc.object_translations + carry * 1e-12
+            )
+            f = fast.render_frame_fast(
+                scene, v, e, (height, width), patch_strides=strides
+            )
+            return jnp.mean(f), None
+
+        out, _ = jax.lax.scan(body, jnp.zeros(()), length=iters)
+        return out
+
+    import numpy as np
+
+    np.asarray(chained(variables, encoding))  # compile + warm
+    start = time.perf_counter()
+    np.asarray(chained(variables, encoding))
+    fps = iters / (time.perf_counter() - start)
+    # Reference interactive rate: saved play videos are encoded at 5 fps
+    # (play.py:108) — the de-facto reference pace on one GPU.
+    print(
+        json.dumps(
+            {
+                "metric": "interactive_render_fps_512x288",
+                "value": round(fps, 2),
+                "unit": "frames/s",
+                "vs_baseline": round(fps / 5.0, 3),
+            }
+        )
+    )
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -107,6 +232,9 @@ def main():
         invert_rigid,
     )
     from playableenvironments_tpu.render.composer import SceneComposer
+
+    if os.environ.get("BENCH_MODE") == "fps":
+        return bench_interactive_fps()
 
     scene = build_scene()
     composer = SceneComposer(scene)

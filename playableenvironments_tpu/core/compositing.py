@@ -231,15 +231,18 @@ def compose_integrate_sortfree(
     # Next-sample distance: min over ALL samples j ordered after i in the
     # (t, concat index) total order of t_j. A tied successor (t_j == t_i,
     # idx_j > idx_i) yields distance 0 — the stable-sort semantics.
+    # The no-successor sentinel is a LARGE FINITE value, not inf: XLA's
+    # select->arithmetic rewrites turn masked infs into 0*inf = NaN under jit.
+    big = jnp.asarray(3.0e38, t_cat.dtype)
     total = t_cat.shape[-1]
     idx = jnp.arange(total)
     idx_after = idx[:, None] < idx[None, :]  # (S, S): j after i in concat order
     t_i = t_cat[..., :, None]  # (..., S, 1)
     t_j = t_cat[..., None, :]  # (..., 1, S)
     after = (t_j > t_i) | ((t_j == t_i) & idx_after)
-    bigger = jnp.where(after, t_j, jnp.inf)
+    bigger = jnp.where(after, t_j, big)
     next_t = jnp.min(bigger, axis=-1)  # (..., S)
-    deltas = jnp.where(jnp.isfinite(next_t), next_t - t_cat, 1e10)
+    deltas = jnp.where(next_t >= big, 1e10, next_t - t_cat)
     distances = deltas * dir_norm
 
     if perturb:
@@ -248,8 +251,12 @@ def compose_integrate_sortfree(
         raw_alpha_cat = raw_alpha_cat + jax.random.normal(
             key, raw_alpha_cat.shape, raw_alpha_cat.dtype
         )
-    alphas = 1.0 - jnp.exp(-jax.nn.relu(raw_alpha_cat) * distances)
-    log1m = jnp.log(1.0 - alphas + 1e-10)
+    x = jax.nn.relu(raw_alpha_cat) * distances
+    alphas = 1.0 - jnp.exp(-x)
+    # log(1 - alpha + 1e-10) = log(exp(-x) + 1e-10), computed in log space:
+    # the naive form re-derives exp(-x) from alphas and XLA's fusion can
+    # cancel it to an exact 0 -> log(0) = -inf -> NaN downstream.
+    log1m = jnp.logaddexp(-x, jnp.log(1e-10))
 
     # Transmittance: per-object exclusive prefix (index order == t order
     # within an object) + cross-object mass strictly before t_i. Ties within
@@ -262,12 +269,14 @@ def compose_integrate_sortfree(
         offsets.append((begin, begin + s))
         begin += s
 
+    def exclusive_cumsum(x):
+        cs = jnp.cumsum(x, axis=-1)
+        return jnp.concatenate(
+            [jnp.zeros_like(cs[..., :1]), cs[..., :-1]], axis=-1
+        )
+
     own_exclusive = jnp.concatenate(
-        [
-            jnp.cumsum(log1m[..., b:e], axis=-1) - log1m[..., b:e]
-            for (b, e) in offsets
-        ],
-        axis=-1,
+        [exclusive_cumsum(log1m[..., b:e]) for (b, e) in offsets], axis=-1
     )
     # Cross-object: sum_j log1m_j over j strictly before i in the (t, concat
     # index) order, restricted to other objects (own-object mass is the

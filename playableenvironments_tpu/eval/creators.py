@@ -56,14 +56,33 @@ class FrameRenderer:
         image_size,
         patch_strides: Optional[Sequence[int]] = None,
         ray_tile: int = 0,
+        use_fast: bool = True,
     ):
         self.model = model
         self.variables = variables
         self.image_size = tuple(image_size)
         self.patch_strides = list(patch_strides) if patch_strides else None
         self.ray_tile = ray_tile
+        # The fused-kernel inference path (render.fast): ~2x the XLA
+        # composer on TPU. Interpret mode keeps it runnable on CPU.
+        self.use_fast = use_fast
         self._encode = jax.jit(self._encode_impl)
-        self._render = jax.jit(self._render_impl)
+        self._render = jax.jit(
+            self._render_fast_impl if use_fast else self._render_impl
+        )
+
+    def _render_fast_impl(self, encoding: SceneEncoding):
+        from playableenvironments_tpu.render import fast
+
+        return fast.render_frame_fast(
+            self.model.scene,
+            self.variables,
+            encoding,
+            self.image_size,
+            patch_strides=self.patch_strides,
+            focal_length_multiplier=self.model.focal_length_multiplier,
+            interpret=jax.default_backend() == "cpu",
+        )
 
     def _encode_impl(self, args):
         (encoding, _), _ = self.model.apply(

@@ -18,8 +18,13 @@ import jax.numpy as jnp
 from playableenvironments_tpu.config import ObjectIds, SceneConfig
 from playableenvironments_tpu.core import bbox as bbox_lib
 from playableenvironments_tpu.core import compositing, rays as rays_lib
+from playableenvironments_tpu.core.transforms3d import (
+    euler_translation_to_matrix,
+    invert_rigid,
+)
 from playableenvironments_tpu.models.encoding import annealing_weights
 from playableenvironments_tpu.ops import fused_nerf
+from playableenvironments_tpu.render import sampling
 
 
 def _bender_displacements(cfg, bender_params, positions, deformation, step):
@@ -216,3 +221,122 @@ def render_rays_fast(
         perturb=False,
     )
     return results
+
+
+def render_frame_fast(
+    scene: SceneConfig,
+    variables: Dict,
+    encoding,
+    image_size,
+    patch_strides=None,
+    focal_length_multiplier: float = 1.0,
+    step: jnp.ndarray = 0,
+    block_points: int = 1024,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Full-frame eval render on the fused path: functional twin of
+    EnvironmentModel.render_frame_from_scene_encoding +
+    decode_rendered_grids (train=False), with the composer replaced by
+    render_rays_fast (fused Pallas MLP + sort-free compose).
+
+    :param variables: the EnvironmentModel variables dict (params.composer,
+        params.autoencoder, batch_stats...).
+    :param encoding: SceneEncoding.
+    :return: (B, T, C, H, W, 3-or-F) frames in [0, 1].
+    """
+    height, width = image_size
+    rescaled_focals = encoding.focals * focal_length_multiplier
+    ray_directions, _, _ = rays_lib.camera_rays(height, width, rescaled_focals)
+
+    if patch_strides:
+        sampled_directions, _, _ = sampling.sample_all_rays_strided_grid(
+            ray_directions, jnp.zeros(ray_directions.shape), list(patch_strides)
+        )
+    else:
+        n = height * width
+        sampled_directions = ray_directions.reshape(
+            ray_directions.shape[:-3] + (n, 3)
+        )
+
+    # Camera-frame -> world (EnvironmentModel.render_sampled_rays).
+    c2w = euler_translation_to_matrix(
+        encoding.camera_rotations, encoding.camera_translations
+    )
+    origins = jnp.zeros(encoding.camera_rotations.shape)
+    normals = jnp.zeros_like(origins).at[..., 2].set(-1.0)
+    origins, directions, normals = rays_lib.transform_rays(
+        origins, sampled_directions, normals, c2w
+    )
+
+    o2w = euler_translation_to_matrix(
+        encoding.object_rotations, encoding.object_translations
+    )
+    w2o = invert_rigid(o2w)
+
+    cameras = sampled_directions.shape[2]
+
+    def with_cameras(x):
+        return jnp.broadcast_to(
+            x[:, :, None], x.shape[:2] + (cameras,) + x.shape[2:]
+        )
+
+    results = render_rays_fast(
+        scene,
+        variables,
+        origins,
+        directions,
+        normals,
+        with_cameras(w2o),
+        with_cameras(encoding.object_style),
+        with_cameras(encoding.object_deformation),
+        with_cameras(encoding.object_in_scene),
+        step=step,
+        block_points=block_points,
+        interpret=interpret,
+    )
+    features = results["coarse"]["global"]["integrated_features"]
+
+    if scene.autoencoder is not None and patch_strides:
+        from playableenvironments_tpu.models.autoencoder import (
+            MultiresAutoencoder,
+            autoencoder_strides,
+            features_count_by_layer,
+        )
+
+        strides = autoencoder_strides(scene.autoencoder)
+        counts = features_count_by_layer(scene.autoencoder)
+        level_features, begin = [], 0
+        for count in counts:
+            level_features.append(features[..., begin : begin + count])
+            begin += count
+        grids = [
+            sampling.split_strided_grid_samples(feats, strides, image_size)[i]
+            for i, feats in enumerate(level_features)
+        ]
+        lead = grids[0].shape[:-3]
+        flat_grids = [g.reshape((-1,) + g.shape[-3:]) for g in grids]
+
+        ae = MultiresAutoencoder(scene.autoencoder)
+        ae_vars = {"params": variables["params"]["autoencoder"]}
+        ae_stats = variables.get("batch_stats", {}).get("autoencoder")
+        if ae_stats:
+            ae_vars["batch_stats"] = ae_stats
+        decoded = ae.apply(
+            ae_vars, flat_grids, False, method=MultiresAutoencoder.decode
+        )
+        frames = decoded.reshape(lead + decoded.shape[1:])
+    elif patch_strides:
+        folded = sampling.split_strided_grid_samples(
+            features, list(patch_strides), image_size
+        )[0]
+        lead = folded.shape[:3]
+        frames = jax.image.resize(
+            folded,
+            lead + (height, width, folded.shape[-1]),
+            method="bilinear",
+        )
+    else:
+        frames = features.reshape(
+            features.shape[:-2] + (height, width, features.shape[-1])
+        )
+    return jnp.clip(frames, 0.0, 1.0)

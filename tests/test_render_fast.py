@@ -29,6 +29,38 @@ def scene_with_bender():
     return dataclasses.replace(scene, object_models=(scene.object_models[0], player))
 
 
+def test_frame_renderer_fast_matches_flax_path(tmp_path):
+    """FrameRenderer(use_fast=True) == use_fast=False on a full frame."""
+    import os
+
+    from playableenvironments_tpu.data.dataset import MulticameraVideoDataset
+    from playableenvironments_tpu.data.synthetic import make_synthetic_dataset
+    from playableenvironments_tpu.eval.creators import FrameRenderer
+    from playableenvironments_tpu.render.environment_model import EnvironmentModel
+    from test_environment_model import RNGS, tiny_scene
+
+    root = make_synthetic_dataset(
+        str(tmp_path), videos=1, frames=4, height=16, width=24
+    )
+    dataset = MulticameraVideoDataset(
+        os.path.join(root, "test"), observations_count=1
+    )
+    batch = next(dataset.iterate_batches(batch_size=1))
+    model = EnvironmentModel(tiny_scene())
+    variables = model.init(
+        RNGS, *batch.environment_model_args(), samples_per_image=8
+    )
+
+    slow = FrameRenderer(model, variables, image_size=(16, 24), use_fast=False)
+    fast_r = FrameRenderer(model, variables, image_size=(16, 24), use_fast=True)
+    encoding = slow.encode(batch)
+    np.testing.assert_allclose(
+        np.asarray(fast_r.render(encoding)),
+        np.asarray(slow.render(encoding)),
+        atol=5e-2, rtol=5e-2,
+    )
+
+
 @pytest.mark.parametrize("apply_activation", [False, True])
 def test_fast_path_matches_composer(key, apply_activation):
     import dataclasses

@@ -84,11 +84,40 @@ class MulticameraVideoDataset:
         img = Image.fromarray((frame * 255).astype(np.uint8))
         return np.asarray(img.resize((w, h), Image.BILINEAR), np.float32) / 255.0
 
+    def _decode_frames_native(self, video, frame_indexes) -> Optional[dict]:
+        """Batch-decode every frame this sample touches through the native
+        C++ loader (decode + resize + normalize in one threaded call).
+        Returns {(camera_idx, frame_idx): (H, W, 3) float32} or None when
+        the native path does not apply (no library / in-memory frames)."""
+        from playableenvironments_tpu.data import native_loader
+
+        if not native_loader.available():
+            return None
+        wanted = []
+        for frame_idx in frame_indexes:
+            for camera_idx in self.allowed_cameras:
+                for s in range(self.observation_stacking):
+                    wanted.append((camera_idx, max(frame_idx - s, 0)))
+        wanted = sorted(set(wanted))
+        paths = []
+        for camera_idx, src in wanted:
+            path = video.videos[camera_idx].get_frame_path(src)
+            if path is None or not path.lower().endswith(".png"):
+                return None
+            paths.append(path)
+        size = self.target_size or video.image_size()
+        try:
+            frames = native_loader.decode_batch(paths, tuple(size))
+        except (IOError, RuntimeError):
+            return None
+        return {key: frames[i] for i, key in enumerate(wanted)}
+
     def __getitem__(self, idx: int) -> dict:
         video_idx, start = self._index[idx]
         video = self.videos[video_idx]
         step = self.skip_frames + 1
         frame_indexes = [start + i * step for i in range(self.observations_count)]
+        decoded = self._decode_frames_native(video, frame_indexes)
 
         observations, rotations, translations, focals = [], [], [], []
         boxes, validity = [], []
@@ -103,7 +132,10 @@ class MulticameraVideoDataset:
                 stack = []
                 for s in range(self.observation_stacking):
                     src = max(frame_idx - s, 0)
-                    stack.append(self._resize(cam_video.get_frame(src)))
+                    if decoded is not None:
+                        stack.append(decoded[(camera_idx, src)])
+                    else:
+                        stack.append(self._resize(cam_video.get_frame(src)))
                 per_camera_obs.append(np.concatenate(stack, axis=-1))
                 pose = cam_video.cameras[frame_idx]
                 per_camera_rot.append(np.asarray(pose.rotation, np.float32))

@@ -88,7 +88,19 @@ def _frame_name(idx: int) -> str:
 
 
 def _load_image(path: str) -> np.ndarray:
-    """Load an image file to (H, W, 3) float32 in [0, 1]."""
+    """Load an image file to (H, W, 3) float32 in [0, 1].
+
+    PNGs decode through the native C++ loader (libpng, no GIL) when the
+    shared library is available; anything else (and the fallback) uses PIL.
+    """
+    if path.lower().endswith(".png"):
+        from playableenvironments_tpu.data import native_loader
+
+        if native_loader.available():
+            try:
+                return native_loader.decode(path)
+            except IOError:
+                pass  # fall through to PIL on malformed files
     from PIL import Image
 
     with Image.open(path) as img:

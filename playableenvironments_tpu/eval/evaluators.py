@@ -155,10 +155,19 @@ class ReconstructedPlayabilityDatasetEvaluator(ReconstructedDatasetEvaluator):
     """Adds action-space diagnostics + FVD over the re-enacted dataset.
     Reference: reconstructed_playability_dataset_evaluator.py:151-800."""
 
-    def __init__(self, actions_count: int, clip_length: int = 8, **kwargs):
+    def __init__(
+        self,
+        actions_count: int,
+        clip_length: int = 8,
+        plots_directory: Optional[str] = None,
+        **kwargs,
+    ):
         super().__init__(**kwargs)
         self.actions_count = actions_count
         self.clip_length = clip_length
+        # When set, movement-density / mean-vector plots are written there
+        # (reconstructed_playability_dataset_evaluator.py:467-505).
+        self.plots_directory = plots_directory
 
     def compute_metrics(
         self, reference_root: str, generated_root: str
@@ -208,6 +217,28 @@ class ReconstructedPlayabilityDatasetEvaluator(ReconstructedDatasetEvaluator):
             results["action_classification_score"] = (
                 metrics_lib.action_classification_score(movements_np, actions_np)
             )
+            if self.plots_directory is not None:
+                from playableenvironments_tpu.eval import plotting
+
+                plotting.plot_density_2d(
+                    actions_np, movements_np, self.actions_count,
+                    self.plots_directory, prefix="world_",
+                )
+                plotting.plot_density_2d(
+                    actions_np, movements_np, self.actions_count,
+                    self.plots_directory, prefix="world_", merged=True,
+                )
+                plotting.plot_mean_vectors_2d(
+                    actions_np, movements_np, self.actions_count,
+                    self.plots_directory, prefix="world_",
+                )
+                plotting.plot_density_1d(
+                    actions_np,
+                    np.linalg.norm(movements_np, axis=-1),
+                    self.actions_count,
+                    os.path.join(self.plots_directory, "world_magnitude.png"),
+                    prefix="world_",
+                )
         try:
             results["fvd"] = fvd.compute()
         except ValueError:

@@ -1,0 +1,100 @@
+"""CenterNet player detector: target splatting, decode, overfit training,
+and the evaluator DetectorFn contract."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from playableenvironments_tpu.models import detector as det
+from playableenvironments_tpu.train.trainer_detector import (
+    DetectorTrainer,
+    DetectorTrainingConfig,
+)
+
+
+def test_splat_targets_peak_at_centers():
+    boxes = jnp.asarray([[[0.2, 0.3, 0.4, 0.7]]])  # l t r b, center (0.5, 0.3)
+    validity = jnp.ones((1, 1), bool)
+    t = det.splat_gaussian_targets(boxes, validity, (16, 24))
+    heat = np.asarray(t["heatmap"][0])
+    r, c = np.unravel_index(heat.argmax(), heat.shape)
+    assert heat.max() > 0.99
+    assert r == int(0.5 * 16) and c == int(0.3 * 24)
+    # Size target stored at the center cell.
+    assert np.isclose(np.asarray(t["sizes"])[0, r, c, 0], 0.4, atol=1e-5)
+    assert np.isclose(np.asarray(t["sizes"])[0, r, c, 1], 0.2, atol=1e-5)
+    assert np.asarray(t["weight"]).sum() == 1
+
+
+def test_splat_targets_invalid_objects_ignored():
+    boxes = jnp.asarray([[[0.2, 0.3, 0.4, 0.7], [0.6, 0.6, 0.8, 0.9]]])
+    validity = jnp.asarray([[True, False]])
+    t = det.splat_gaussian_targets(boxes, validity, (16, 24))
+    assert np.asarray(t["weight"]).sum() == 1
+
+
+def test_decode_recovers_constructed_peak():
+    gh, gw = 16, 24
+    heatmap = jnp.full((1, gh, gw), -8.0).at[0, 8, 6].set(8.0)
+    sizes = jnp.zeros((1, gh, gw, 2)).at[0, 8, 6].set(jnp.asarray([0.3, 0.2]))
+    offsets = jnp.full((1, gh, gw, 2), 0.5)
+    out = det.decode_detections(
+        {"heatmap": heatmap, "sizes": sizes, "offsets": offsets}, top_k=3
+    )
+    scores = np.asarray(out["scores"][0])
+    centers = np.asarray(out["centers"][0])
+    assert scores[0] > 0.99
+    np.testing.assert_allclose(centers[0], [(8 + 0.5) / gh, (6 + 0.5) / gw],
+                               atol=1e-5)
+    boxes = np.asarray(out["boxes"][0])
+    np.testing.assert_allclose(boxes[0, 3] - boxes[0, 1], 0.3, atol=1e-5)
+    np.testing.assert_allclose(boxes[0, 2] - boxes[0, 0], 0.2, atol=1e-5)
+
+
+@pytest.fixture(scope="module")
+def overfit_state():
+    """Train a tiny detector to overfit one synthetic scene."""
+    rng = np.random.default_rng(0)
+    h, w = 32, 48
+    images = np.full((2, h, w, 3), 0.2, np.float32)
+    boxes = np.asarray(
+        [[[0.5, 0.25, 0.75, 0.75]], [[0.125, 0.375, 0.375, 0.9]]], np.float32
+    )
+    for i in range(2):
+        l, t, r, b = boxes[i, 0]
+        images[i, int(t * h) : int(b * h), int(l * w) : int(r * w)] = [0.9, 0.1, 0.1]
+    images += rng.normal(0, 0.01, images.shape).astype(np.float32)
+    validity = np.ones((2, 1), bool)
+
+    trainer = DetectorTrainer(DetectorTrainingConfig(
+        learning_rate=3e-3, base_features=8))
+    state = trainer.init_state(jax.random.PRNGKey(0), jnp.asarray(images))
+    step = jax.jit(trainer.train_step, donate_argnums=0)
+    losses = None
+    for _ in range(150):
+        state, losses = step(
+            state, jnp.asarray(images), jnp.asarray(boxes), jnp.asarray(validity)
+        )
+    return trainer, state, images, boxes, float(losses["loss"])
+
+
+def test_detector_overfit_loss_decreases(overfit_state):
+    _, _, _, _, final_loss = overfit_state
+    assert final_loss < 2.0
+
+
+def test_detector_fn_contract_and_accuracy(overfit_state):
+    trainer, state, images, boxes, _ = overfit_state
+    detector_fn = trainer.detect_fn(state, threshold=0.25)
+    for i in range(2):
+        centers = detector_fn(images[i])
+        assert centers.ndim == 2 and centers.shape[-1] == 2
+        assert len(centers) >= 1
+        expected = np.asarray(
+            [(boxes[i, 0, 1] + boxes[i, 0, 3]) / 2,
+             (boxes[i, 0, 0] + boxes[i, 0, 2]) / 2]
+        )
+        best = centers[np.argmin(np.linalg.norm(centers - expected, axis=-1))]
+        np.testing.assert_allclose(best, expected, atol=0.12)

@@ -187,7 +187,10 @@ class Video:
         ]:
             if len(seq) != n:
                 raise ValueError(f"{name} has {len(seq)} entries for {n} frames")
-        self._frames_in_memory = [np.asarray(f, dtype=np.float32) for f in frames]
+        self._frames_in_memory = [
+            None if f is None else np.asarray(f, dtype=np.float32)
+            for f in frames
+        ]
         self.frame_paths = [None] * n
         self.actions = list(actions)
         self.rewards = list(rewards)
@@ -247,9 +250,22 @@ class Video:
         """Write the reference on-disk layout (dataset/video.py:765-815)."""
         os.makedirs(path, exist_ok=exists_ok)
         for idx in range(self.frames_count):
+            if (
+                self.frame_paths[idx] is None
+                and self._frames_in_memory[idx] is None
+            ):
+                # Annotation-only video (acquisition writes frames through a
+                # separate ffmpeg/cv2 extraction step); the PNG may already
+                # be on disk at the destination.
+                continue
             _save_image(
                 self.get_frame(idx), os.path.join(path, _frame_name(idx) + ".png")
             )
+        self.save_annotations(path)
+
+    def save_annotations(self, path: str):
+        """Write only the pickled annotation files (no frame PNGs)."""
+        os.makedirs(path, exist_ok=True)
         for attr, filename in self.PICKLE_FILES.items():
             _save_pickle(getattr(self, attr), os.path.join(path, filename))
         for attr, filename in self.OPTIONAL_PICKLE_FILES.items():

@@ -1,0 +1,236 @@
+"""Acquisition pipeline: geometry, calibration, replay parsing, splits,
+fragmenting, and detector-based box annotation."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from playableenvironments_tpu.acquisition import geometry
+from playableenvironments_tpu.acquisition.field_calibration import (
+    calibrate_camera,
+    reprojection_error,
+)
+from playableenvironments_tpu.acquisition.replay_parser import (
+    ReplayRecording,
+    focal_from_fov,
+    minecraft_rotation_to_dataset,
+)
+from playableenvironments_tpu.acquisition.splits import (
+    make_fixed_length,
+    split_dataset,
+)
+from playableenvironments_tpu.acquisition.tennis_court import court_keypoints
+
+
+# ---------------------------------------------------------------------------
+# Geometry
+# ---------------------------------------------------------------------------
+
+def test_numpy_geometry_matches_core_transforms(rng):
+    import jax.numpy as jnp
+
+    from playableenvironments_tpu.core.transforms3d import (
+        euler_translation_to_matrix,
+    )
+
+    rotation = rng.uniform(-1.2, 1.2, 3)
+    translation = rng.uniform(-5, 5, 3)
+    expected = np.asarray(
+        euler_translation_to_matrix(jnp.asarray(rotation), jnp.asarray(translation))
+    )
+    got = geometry.pose_to_matrix(rotation, translation)
+    np.testing.assert_allclose(got, expected, atol=1e-6)
+
+    recovered_rot, recovered_trans = geometry.matrix_to_euler_translation(got)
+    np.testing.assert_allclose(recovered_rot, rotation, atol=1e-6)
+    np.testing.assert_allclose(recovered_trans, translation, atol=1e-6)
+
+    inv = geometry.invert_pose(got)
+    np.testing.assert_allclose(inv @ got, np.eye(4), atol=1e-6)
+
+
+def test_project_box_valid_and_behind_camera():
+    box = np.asarray([(-0.2, 0.2), (0.0, 0.5), (-0.2, 0.2)])
+    o2w = geometry.pose_to_matrix([0, 0, 0], [0.0, 0.0, -5.0])
+    w2c = np.eye(4)  # camera at origin looking down -z
+    ltrb, valid = geometry.project_box_to_image(box, o2w, w2c, 300.0, 240, 320)
+    assert valid
+    assert 0.0 <= ltrb[0] < ltrb[2] <= 1.0
+
+    behind = geometry.pose_to_matrix([0, 0, 0], [0.0, 0.0, 5.0])
+    _, valid = geometry.project_box_to_image(box, behind, w2c, 300.0, 240, 320)
+    assert not valid
+
+
+# ---------------------------------------------------------------------------
+# Calibration
+# ---------------------------------------------------------------------------
+
+def _synthetic_court_view(rot, trans, focal, size):
+    width, height = size
+    world = court_keypoints().astype(np.float64)
+    w2c = geometry.invert_pose(geometry.pose_to_matrix(rot, trans))
+    cam = world @ w2c[:3, :3].T + w2c[:3, 3]
+    proj = -cam[:, :2] / cam[:, 2:3] * focal
+    proj[:, 1] *= -1
+    proj += np.asarray([width / 2, height / 2])
+    return world, proj
+
+
+def test_calibration_recovers_exact_pose():
+    rot = np.asarray([1.2, 0.05, -0.02])
+    trans = np.asarray([1.5, -25.0, 8.0])
+    world, proj = _synthetic_court_view(rot, trans, 1400.0, (2560, 1440))
+    got_rot, got_trans, got_f = calibrate_camera(world, proj, (2560, 1440))
+    np.testing.assert_allclose(got_rot, rot, atol=1e-4)
+    np.testing.assert_allclose(got_trans, trans, atol=1e-2)
+    assert abs(got_f - 1400.0) < 1.0
+
+
+def test_calibration_robust_to_pixel_noise(rng):
+    rot = np.asarray([1.25, 0.0, 0.0])
+    trans = np.asarray([0.0, -22.0, 7.0])
+    world, proj = _synthetic_court_view(rot, trans, 1300.0, (1920, 1080))
+    noisy = proj + rng.normal(0, 1.0, proj.shape)
+    got_rot, got_trans, got_f = calibrate_camera(world, noisy, (1920, 1080))
+    error = reprojection_error(world, noisy, (1920, 1080), got_rot, got_trans, got_f)
+    assert error < 3.0
+    assert abs(got_f - 1300.0) / 1300.0 < 0.05
+
+
+# ---------------------------------------------------------------------------
+# Minecraft replay parsing
+# ---------------------------------------------------------------------------
+
+def test_rotation_conversion():
+    assert minecraft_rotation_to_dataset(0.0) == pytest.approx(0.0)
+    # -90 degrees minecraft -> +90 degrees dataset.
+    assert minecraft_rotation_to_dataset(-90.0) == pytest.approx(np.pi / 2)
+    # z is wrapped to [0, 2pi)
+    assert 0 <= minecraft_rotation_to_dataset(270.0, True) < 2 * np.pi
+
+
+def _write_replay(tmp_path, frames=6, fps=2, entities=2):
+    timesteps = []
+    for t in range(frames):
+        objects = [
+            {
+                "uuid": f"player-{k}",
+                "posX": 100.0 + k * 2.0 + 0.1 * t,
+                "posY": 64.0,
+                "posZ": 95.0 + k,
+                "rotX": 0.0, "rotY": 0.0, "rotZ": 0.0,
+            }
+            for k in range(entities)
+        ]
+        timesteps.append({
+            "camera": {
+                "posX": 100.0, "posY": 68.0, "posZ": 110.0,
+                "rotX": -20.0, "rotY": 0.0, "rotZ": 0.0,
+            },
+            "entities": {"objects": objects},
+        })
+    annotations = {
+        "camera_intrinsics": {
+            "image_height": 64, "image_width": 96,
+            "y_fov": 1.0, "z_near": 0.1, "z_far": 100.0,
+        },
+        "framerate": fps,
+        "timesteps": timesteps,
+    }
+    ann_path = os.path.join(tmp_path, "recording.json")
+    json.dump(annotations, open(ann_path, "w"))
+    split_path = os.path.join(tmp_path, "splits.txt")
+    with open(split_path, "w") as f:
+        f.write("# world center\n100 64 100\n0 2\n2 3\n")
+    return ann_path, split_path
+
+
+def test_replay_recording_builds_dataset_videos(tmp_path):
+    ann, splits = _write_replay(str(tmp_path))
+    recording = ReplayRecording(ann, splits)
+    assert recording.world_center == [100, 64, 100]
+    assert len(recording.splits) == 2
+
+    video = recording.build_split_video(0)
+    assert video.frames_count == 4  # 2 seconds * 2 fps
+    assert video.focals[0] == pytest.approx(focal_from_fov(64, 1.0))
+    # Camera recentring: posY 68 - center 64 = 4.
+    assert video.cameras[0].translation[1] == pytest.approx(4.0)
+    boxes = np.asarray(video.bounding_boxes[0])
+    assert boxes.shape == (4, 2)  # (ltrb, objects) disk layout
+    assert np.asarray(video.bounding_boxes_validity[0]).shape == (2,)
+
+    out = os.path.join(str(tmp_path), "dataset")
+    written = recording.export(out, extract_frames=False)
+    assert len(written) == 2
+    # Annotations round-trip through the Video loader.
+    from playableenvironments_tpu.data.video import Video
+
+    loaded = Video().load(os.path.join(written[0], "00000"))
+    assert len(loaded.cameras) == 4
+    assert loaded.object_poses is not None
+
+
+# ---------------------------------------------------------------------------
+# Splits + fragmenting
+# ---------------------------------------------------------------------------
+
+@pytest.fixture()
+def flat_dataset(tmp_path):
+    from playableenvironments_tpu.data.synthetic import make_synthetic_dataset
+
+    root = make_synthetic_dataset(
+        str(tmp_path / "src"), videos=1, frames=9, height=8, width=12
+    )
+    # make_synthetic_dataset already splits; use its train dir as a flat root.
+    return os.path.join(root, "train")
+
+
+def test_split_dataset(tmp_path, flat_dataset):
+    out = str(tmp_path / "splitted")
+    assignment = split_dataset(flat_dataset, out, fractions=(1.0, 0.0, 0.0))
+    assert len(assignment["train"]) >= 1
+    assert os.path.isdir(os.path.join(out, "train", "00000"))
+
+
+def test_make_fixed_length(tmp_path, flat_dataset):
+    out = str(tmp_path / "fragments")
+    count = make_fixed_length(flat_dataset, out, fragment_length=4)
+    assert count >= 2
+    from playableenvironments_tpu.data.video import MulticameraVideo
+
+    fragment = MulticameraVideo().load(os.path.join(out, "00000"))
+    assert fragment.frames_count == 4
+    # Fragments load as a dataset.
+    from playableenvironments_tpu.data.dataset import MulticameraVideoDataset
+
+    ds = MulticameraVideoDataset(out, observations_count=2)
+    assert len(ds) > 0
+
+
+# ---------------------------------------------------------------------------
+# Detector-based boxes
+# ---------------------------------------------------------------------------
+
+def test_annotate_dataset_boxes(tmp_path, flat_dataset):
+    from playableenvironments_tpu.acquisition.boxes import annotate_dataset_boxes
+    from playableenvironments_tpu.data.video import Video
+
+    def fake_detector(frame):
+        return (
+            np.asarray([[0.1, 0.2, 0.3, 0.6]], np.float32),
+            np.asarray([0.9], np.float32),
+        )
+
+    frames = annotate_dataset_boxes(flat_dataset, fake_detector, objects_count=2)
+    assert frames > 0
+    video_dir = os.path.join(flat_dataset, sorted(os.listdir(flat_dataset))[0])
+    camera = Video().load(os.path.join(video_dir, "00000"))
+    boxes = np.asarray(camera.bounding_boxes[0])
+    assert boxes.shape == (4, 2)
+    np.testing.assert_allclose(boxes[:, 0], [0.1, 0.2, 0.3, 0.6], atol=1e-6)
+    validity = np.asarray(camera.bounding_boxes_validity[0])
+    assert validity[0] and not validity[1]  # one detection, one empty slot

@@ -35,7 +35,7 @@ def build_scene():
         SceneConfig,
     )
 
-    def obj(name, box, samples, bender_kind):
+    def obj(name, box, samples, bender_kind, ray_compaction=1.0):
         bender = (
             RayBenderConfig(
                 kind="positional", layers_width=128, layers_count=6,
@@ -49,6 +49,7 @@ def build_scene():
             name=name,
             bounding_box=box,
             positions_count_coarse=samples,
+            ray_compaction=ray_compaction,
             z_near_min=5.0,
             z_far_max=70.0,
             nerf=NerfMLPConfig(
@@ -65,8 +66,10 @@ def build_scene():
     models = (
         obj("background", ((-30.0, 30.0), (-40.0, 20.585), (-0.5, 0.0)), 4, "zeroed"),
         obj("backplate", ((-30.0, 30.0), (0.0, 0.5), (0.0, 30.0)), 4, "zeroed"),
-        obj("player_1", ((-0.75, 0.75), (-0.5, 0.5), (0.0, 2.15)), 32, "positional"),
-        obj("player_2", ((-0.75, 0.75), (-0.5, 0.5), (0.0, 2.15)), 32, "positional"),
+        obj("player_1", ((-0.75, 0.75), (-0.5, 0.5), (0.0, 2.15)), 32,
+            "positional", ray_compaction=0.125),
+        obj("player_2", ((-0.75, 0.75), (-0.5, 0.5), (0.0, 2.15)), 32,
+            "positional", ray_compaction=0.125),
     )
     static_range = (((0.0, 0.0),) * 3,)
     player_range = (((-7.5, 7.5), (-20.0, 0.0), (0.01, 0.01)),)

@@ -73,6 +73,13 @@ class ObjectModelConfig:
     positions_count_fine: int = 32
     use_fine: bool = False
     empty_space_alpha: float = -3.5
+    # Inference-path ray compaction (render.fast): evaluate the field MLP on
+    # at most this fraction of rays (those whose rays hit the object's AABB,
+    # compacted to a static-size buffer); missed rays take empty_space_alpha
+    # directly. 1.0 disables. Small dynamic objects (players) typically
+    # intersect <1% of frame rays, so 1/8 is lossless in practice; hits
+    # beyond the budget fall back to empty space.
+    ray_compaction: float = 1.0
     z_near_min: float = 5.0
     z_far_max: float = 70.0
     style_features: int = 64
@@ -322,6 +329,7 @@ def object_model_from_dict(block: Dict[str, Any]) -> ObjectModelConfig:
         positions_count_fine=int(d.get("positions_count_fine", 32)),
         use_fine=bool(d.get("use_fine", False)),
         empty_space_alpha=float(d.get("empty_space_alpha", -3.5)),
+        ray_compaction=float(d.get("ray_compaction", 1.0)),
         z_near_min=float(d.get("z_near_min", 5.0)),
         z_far_max=float(d.get("z_far_max", 70.0)),
         style_features=int(d.get("style_features", 64)),

@@ -64,6 +64,103 @@ def _bender_displacements(cfg, bender_params, positions, deformation, step):
     return jnp.clip(displacements, min_disp, max_disp)
 
 
+def _compact_eval(
+    cfg,
+    field_params,
+    field_stats,
+    positions: jnp.ndarray,
+    hit: jnp.ndarray,
+    obj_style: jnp.ndarray,
+    obj_deformation: jnp.ndarray,
+    step,
+    block_points: int,
+    interpret: bool,
+):
+    """Evaluate the object field on a STATIC-size compacted ray subset.
+
+    Most rays miss a small object's AABB entirely (players intersect <1% of
+    frame rays) yet dense masked evaluation pays the full MLP for them. This
+    gathers rays with `hit` (argsort puts hits first — static shapes, no
+    boolean indexing), runs the bender + fused NeRF on `budget` rays only,
+    and scatters results back; non-evaluated rays get empty_space_alpha.
+    The TPU-native equivalent of the reference's boolean bbox filtering
+    (ray_bending_style_nerf_model.py:180-198) at a fixed compute budget.
+
+    :param positions: (..., rays, S, 3) object-frame sample positions.
+    :param hit: (..., rays) bool, ray intersects the AABB.
+    :return: ((..., rays, S, F) features, (..., rays, S) raw alphas).
+    """
+    box = jnp.asarray(cfg.bounding_box, positions.dtype)
+    lead = positions.shape[:-3]
+    rays = positions.shape[-3]
+    samples = positions.shape[-2]
+    budget = max(int(rays * cfg.ray_compaction), 1)
+
+    flat_positions = positions.reshape((-1, rays, samples, 3))
+    flat_hit = hit.reshape((-1, rays))
+    l = flat_positions.shape[0]
+
+    # Hits first (stable argsort of the miss flag), truncate to the budget.
+    order = jnp.argsort(~flat_hit, axis=-1)[:, :budget]  # (L, budget)
+    batch_idx = jnp.arange(l)[:, None]
+    sel_positions = flat_positions[batch_idx, order]  # (L, budget, S, 3)
+
+    style_b = jnp.broadcast_to(
+        obj_style.reshape((-1, obj_style.shape[-1]))[:, None],
+        (l, budget, obj_style.shape[-1]),
+    )
+
+    if cfg.bender.kind == "positional":
+        deformation_b = jnp.broadcast_to(
+            obj_deformation.reshape((-1, obj_deformation.shape[-1]))[
+                :, None, None
+            ],
+            (l, budget, 1, obj_deformation.shape[-1]),
+        )
+        displacements = _bender_displacements(
+            cfg, field_params["ray_bender"], sel_positions, deformation_b, step
+        )
+        mask = bbox_lib.aabb_contains(box, sel_positions)
+        eval_positions = sel_positions + jnp.where(
+            mask[..., None], displacements, 0.0
+        )
+        sel_disp = displacements
+    else:
+        eval_positions = sel_positions
+        sel_disp = jnp.zeros_like(sel_positions)
+
+    feats, alpha = fused_nerf.fused_object_field_eval(
+        cfg.nerf,
+        cfg.bounding_box,
+        field_params["nerf"],
+        field_stats["nerf"],
+        eval_positions,
+        style_b[..., None, :],
+        cfg.empty_space_alpha,
+        block_points=block_points,
+        interpret=interpret,
+    )
+    mask = bbox_lib.aabb_contains(box, sel_positions)
+    feats = jnp.where(mask[..., None], feats, 0.0)
+    alpha = jnp.where(mask, alpha, cfg.empty_space_alpha)
+
+    # Scatter back to the full ray set.
+    full_feats = jnp.zeros(
+        (l, rays, samples, feats.shape[-1]), feats.dtype
+    ).at[batch_idx, order].set(feats)
+    full_alpha = jnp.full(
+        (l, rays, samples), cfg.empty_space_alpha, alpha.dtype
+    ).at[batch_idx, order].set(alpha)
+    full_disp = jnp.zeros((l, rays, samples, 3), positions.dtype).at[
+        batch_idx, order
+    ].set(sel_disp)
+    return (
+        full_feats.reshape(lead + (rays, samples, feats.shape[-1])),
+        full_alpha.reshape(lead + (rays, samples)),
+        full_disp.reshape(lead + (rays, samples, 3)),
+    )
+
+
 def render_rays_fast(
     scene: SceneConfig,
     variables: Dict,
@@ -104,6 +201,7 @@ def render_rays_fast(
         z_near, z_far = bbox_lib.ray_aabb_bounds(
             o_origins, o_directions, box, object_in_scene[..., object_idx]
         )
+        hit = z_far > z_near
         z_near = jnp.clip(z_near, cfg.z_near_min, cfg.z_far_max)
         z_far = jnp.clip(z_far, cfg.z_near_min, cfg.z_far_max)
         positions, t = rays_lib.stratified_ray_positions(
@@ -113,6 +211,29 @@ def render_rays_fast(
 
         obj_style = style[..., object_idx, :]
         obj_deformation = deformation[..., object_idx, :]
+
+        if cfg.ray_compaction < 1.0 and cfg.nerf.kind != "skybox":
+            features, raw_alpha, displacements = _compact_eval(
+                cfg, field_params, field_stats, positions, hit,
+                obj_style, obj_deformation, step, block_points, interpret,
+            )
+            raw_alpha = jnp.where(
+                object_in_scene[..., object_idx][..., None, None],
+                raw_alpha, cfg.empty_space_alpha,
+            )
+            if scene.apply_activation:
+                features = jax.nn.sigmoid(features)
+            per_object.append(
+                {
+                    "features": features,
+                    "raw_alphas": raw_alpha,
+                    "t": t,
+                    "positions": positions,
+                    "displacements": displacements,
+                    "divergences": jnp.zeros_like(t),
+                }
+            )
+            continue
 
         if cfg.bender.kind == "positional":
             displacements = _bender_displacements(

@@ -61,6 +61,50 @@ def test_frame_renderer_fast_matches_flax_path(tmp_path):
     )
 
 
+def test_ray_compaction_matches_dense(key):
+    """Compacted evaluation == dense evaluation when the hit budget covers
+    every hitting ray."""
+    import dataclasses
+
+    scene = scene_with_bender()
+    # Compact the player object at a generous budget.
+    player = dataclasses.replace(scene.object_models[1], ray_compaction=0.75)
+    compact_scene = dataclasses.replace(
+        scene, object_models=(scene.object_models[0], player)
+    )
+    composer = SceneComposer(scene)
+    n_obj, rays = 2, 16
+    origins = jnp.zeros((2, 3)).at[:, 2].set(3.0)
+    directions = jax.random.normal(key, (2, rays, 3)) * 0.35 + jnp.asarray(
+        [0.0, 0.0, -1.0]
+    )
+    normals = jnp.asarray([0.0, 0.0, -1.0])[None].repeat(2, 0)
+    w2o = jnp.eye(4)[None, None].repeat(2, 0).repeat(n_obj, 1)
+    style = jax.random.normal(key, (2, n_obj, 8))
+    deformation = jax.random.normal(key, (2, n_obj, 4))
+    in_scene = jnp.ones((2, n_obj), dtype=bool)
+    variables = composer.init(
+        key, origins, directions, normals, w2o, style, deformation, in_scene
+    )
+    fv = {"params": {"composer": variables["params"]},
+          "batch_stats": {"composer": variables.get("batch_stats", {})}}
+
+    dense = fast.render_rays_fast(
+        scene, fv, origins, directions, normals, w2o, style, deformation,
+        in_scene, block_points=64, interpret=True,
+    )
+    compact = fast.render_rays_fast(
+        compact_scene, fv, origins, directions, normals, w2o, style,
+        deformation, in_scene, block_points=64, interpret=True,
+    )
+    for field in ("integrated_features", "opacity", "depth"):
+        np.testing.assert_allclose(
+            np.asarray(compact["coarse"]["global"][field]),
+            np.asarray(dense["coarse"]["global"][field]),
+            atol=1e-4, rtol=1e-4, err_msg=field,
+        )
+
+
 @pytest.mark.parametrize("apply_activation", [False, True])
 def test_fast_path_matches_composer(key, apply_activation):
     import dataclasses

@@ -36,6 +36,7 @@ class Batch:
     actions: Optional[jnp.ndarray] = None  # (B, T) int32 (ground truth, eval only)
     keypoints: Optional[jnp.ndarray] = None  # (B, T, C, KP, 3, O)
     keypoints_validity: Optional[jnp.ndarray] = None
+    optical_flow: Optional[jnp.ndarray] = None  # (B, T, C, H, W, 2) normalized
 
     @property
     def batch_size(self) -> int:
@@ -61,7 +62,7 @@ def collate(samples: Sequence[dict]) -> Batch:
         return np.stack([s[key] for s in samples])
 
     optional = {}
-    for key in ("actions", "keypoints", "keypoints_validity"):
+    for key in ("actions", "keypoints", "keypoints_validity", "optical_flow"):
         if samples[0].get(key) is not None:
             optional[key] = stack(key)
     return Batch(

@@ -157,7 +157,54 @@ class MulticameraVideoDataset:
             boxes.append(np.stack(per_camera_box))
             validity.append(np.stack(per_camera_valid))
 
+        # Optional annotations: keypoints and optical flow (present only when
+        # the videos carry them; the consistency losses consume these).
+        optional = {}
+        first_cam = video.videos[self.allowed_cameras[0]]
+        if first_cam.keypoints is not None:
+            kp = np.stack(
+                [
+                    np.stack(
+                        [
+                            np.asarray(
+                                video.videos[c].keypoints[i], np.float32
+                            )
+                            for c in self.allowed_cameras
+                        ]
+                    )
+                    for i in frame_indexes
+                ]
+            )
+            optional["keypoints"] = kp
+            if first_cam.keypoints_validity is not None:
+                optional["keypoints_validity"] = np.stack(
+                    [
+                        np.stack(
+                            [
+                                np.asarray(
+                                    video.videos[c].keypoints_validity[i], bool
+                                )
+                                for c in self.allowed_cameras
+                            ]
+                        )
+                        for i in frame_indexes
+                    ]
+                )
+        if first_cam.has_flow:
+            flows = []
+            for i in frame_indexes:
+                per_camera = []
+                for c in self.allowed_cameras:
+                    flow = video.videos[c].get_flow(i)
+                    if flow is None:
+                        h, w = self.target_size or video.image_size()
+                        flow = np.zeros((h, w, 2), np.float32)
+                    per_camera.append(flow)
+                flows.append(np.stack(per_camera))
+            optional["optical_flow"] = np.stack(flows)
+
         return {
+            **optional,
             "observations": np.stack(observations),
             "camera_rotations": np.stack(rotations),
             "camera_translations": np.stack(translations),

@@ -298,6 +298,33 @@ class Video:
         """(height, width) of the frames."""
         return self.get_frame(0).shape[:2]
 
+    @property
+    def has_flow(self) -> bool:
+        return self.path is not None and os.path.isdir(
+            os.path.join(self.path, "flow")
+        )
+
+    def get_flow(self, idx: int) -> Optional[np.ndarray]:
+        """Optical flow frame->frame+1 as (H, W, 2) normalized (d_row, d_col),
+        from flow/<frame>.npy (or the reference's per-object layout
+        flow/<object>/<frame>.npy, first object; dataset/video.py:24-39)."""
+        if self.path is None:
+            return None
+        flow_dir = os.path.join(self.path, "flow")
+        candidates = [os.path.join(flow_dir, _frame_name(idx) + ".npy")]
+        if os.path.isdir(flow_dir):
+            for sub in sorted(os.listdir(flow_dir)):
+                candidates.append(
+                    os.path.join(flow_dir, sub, _frame_name(idx) + ".npy")
+                )
+        for path in candidates:
+            if os.path.isfile(path):
+                flow = np.load(path).astype(np.float32)
+                if flow.shape[0] == 2 and flow.ndim == 3:  # (2, H, W) layout
+                    flow = np.moveaxis(flow, 0, -1)
+                return flow
+        return None
+
 
 class MulticameraVideo:
     """A directory of per-camera Videos with aligned frame indices.

@@ -244,6 +244,66 @@ class SceneComposer(nn.Module):
             "divergences": divergences,
         }
 
+    def forward_expected_positions(
+        self,
+        object_idx: int,
+        ray_origins: jnp.ndarray,
+        ray_directions: jnp.ndarray,
+        focal_normals: jnp.ndarray,
+        w2o_matrix: jnp.ndarray,
+        style: jnp.ndarray,
+        deformation: jnp.ndarray,
+        object_in_scene: jnp.ndarray,
+        perturb: bool = False,
+        step: jnp.ndarray = 0,
+        use_running_average: bool = False,
+    ) -> Dict:
+        """Expected first-surface positions of ONE object along the given
+        rays (object_composer.py:624-722): bent object-frame positions
+        averaged with stop-gradient compositing weights, plus the ray
+        opacity. The anchor of the pose/keypoint-consistency losses.
+
+        :param ray_origins: (..., 3) world origins.
+        :param ray_directions: (..., rays, 3) world directions.
+        :param w2o_matrix: (..., 4, 4) this object's world->object matrix.
+        :return: {"coarse": ((..., rays, 3) positions, (..., rays) opacity)
+                  [, "fine": ...]}.
+        """
+        model_idx = self.object_ids.model_idx_by_object_idx(object_idx)
+        cfg = self.scene.object_models[model_idx]
+        field = self.fields[model_idx]
+
+        o_origins, o_directions, _ = rays_lib.transform_rays(
+            ray_origins, ray_directions, focal_normals, w2o_matrix
+        )
+        box = jnp.asarray(cfg.bounding_box, ray_origins.dtype)
+        z_near, z_far = bbox_lib.ray_aabb_bounds(
+            o_origins, o_directions, box, object_in_scene
+        )
+        z_near = jnp.clip(z_near, cfg.z_near_min, cfg.z_far_max)
+        z_far = jnp.clip(z_far, cfg.z_near_min, cfg.z_far_max)
+        sample_key = self.make_rng("sampling") if perturb else None
+        positions, positions_t = rays_lib.stratified_ray_positions(
+            o_origins, o_directions, z_near, z_far,
+            cfg.positions_count_coarse, perturb, sample_key,
+        )
+        outputs = self._evaluate_object(
+            field, cfg, positions, positions_t, o_origins, o_directions,
+            style, deformation, object_in_scene, step, False,
+            use_running_average, False,
+        )
+        distances = compositing.position_distances(outputs["t"], o_directions)
+        alpha_key = self.make_rng("alpha_noise") if perturb else None
+        alphas = compositing.alphas_from_raw(
+            outputs["raw_alphas"], distances, perturb, alpha_key
+        )
+        weights = compositing.compositing_weights(alphas)
+        expected = compositing.expected_positions(
+            outputs["positions"], outputs["displacements"], weights
+        )
+        opacity = jnp.sum(weights, axis=-1)
+        return {"coarse": (expected, opacity)}
+
     def _compose_and_integrate(
         self, per_object, ray_origins, ray_directions, perturb: bool
     ) -> Dict:

@@ -738,6 +738,164 @@ class EnvironmentModel(nn.Module):
         return results
 
     # ------------------------------------------------------------------
+    # Consistency forwards (auxiliary supervision signals)
+    # ------------------------------------------------------------------
+
+    def _consistency_geometry(self, encoding: SceneEncoding, image_size):
+        height, width = image_size
+        rescaled_focals = encoding.focals * self.focal_length_multiplier
+        ray_directions, ray_origins, focal_normals = (
+            rays_lib.camera_rays(height, width, rescaled_focals)[0],
+            jnp.zeros(encoding.camera_rotations.shape),
+            jnp.zeros(encoding.camera_rotations.shape).at[..., 2].set(-1.0),
+        )
+        c2w = euler_translation_to_matrix(
+            encoding.camera_rotations, encoding.camera_translations
+        )
+        o2w = euler_translation_to_matrix(
+            encoding.object_rotations, encoding.object_translations
+        )
+        w2o = invert_rigid(o2w)
+        return ray_directions, ray_origins, focal_normals, c2w, w2o
+
+    def forward_pose_consistency(
+        self,
+        encoding: SceneEncoding,
+        optical_flow: jnp.ndarray,
+        bounding_boxes: jnp.ndarray,
+        bounding_boxes_validity: jnp.ndarray,
+        samples_per_image: int,
+        perturb: bool = False,
+        step: jnp.ndarray = 0,
+        train: bool = True,
+    ) -> Dict:
+        """Optical-flow-matched expected-position pairs for every dynamic
+        object (environment_model.py:1197-1361): rays are drawn inside the
+        object's box in frame t, matched through the flow into frame t+1,
+        and both are resolved to 3D first-surface positions — the inputs of
+        pose_consistency_loss.
+
+        :param optical_flow: (B, T, C, H, W, 2) normalized (d_row, d_col).
+        :param bounding_boxes: (B, T, C, dynamic_objects, 4) normalized ltrb.
+        :param bounding_boxes_validity: (B, T, C, dynamic_objects) bool.
+        :return: {"coarse": {"dynamic_object_i": (previous (B, T-1, C, n, 3),
+                 next (B, T-1, C, n, 3), pair_valid (B, T-1, C))}}.
+        """
+        height, width = optical_flow.shape[-3], optical_flow.shape[-2]
+        directions, origins, normals, c2w, w2o = self._consistency_geometry(
+            encoding, (height, width)
+        )
+
+        static = self.object_ids.static_objects_count
+        results = {"coarse": {}}
+        for dynamic_idx in range(self.object_ids.dynamic_objects_count):
+            object_idx = static + dynamic_idx
+            box = bounding_boxes[..., dynamic_idx, :]
+            validity = bounding_boxes_validity[..., dynamic_idx]
+            w2o_obj = w2o[..., object_idx, :, :][:, :, None]  # camera axis
+            style = encoding.object_style[..., object_idx, :][:, :, None]
+            deform = encoding.object_deformation[..., object_idx, :][:, :, None]
+
+            key = self.make_rng("sampling")
+            prev_dirs, prev_flow, prev_positions = (
+                sampling.sample_rays_at_object(
+                    key,
+                    directions[:, :-1],
+                    optical_flow[:, :-1],
+                    samples_per_image,
+                    box[:, :-1],
+                )
+            )
+            next_positions = prev_positions + prev_flow
+            next_dirs = sampling.sample_at_positions(
+                directions[:, 1:], next_positions
+            )
+
+            prev_o, prev_d, prev_n = rays_lib.transform_rays(
+                origins[:, :-1], prev_dirs, normals[:, :-1], c2w[:, :-1]
+            )
+            next_o, next_d, next_n = rays_lib.transform_rays(
+                origins[:, 1:], next_dirs, normals[:, 1:], c2w[:, 1:]
+            )
+
+            prev_result = self.composer.forward_expected_positions(
+                object_idx, prev_o, prev_d, prev_n, w2o_obj[:, :-1],
+                style[:, :-1], deform[:, :-1], validity[:, :-1],
+                perturb=perturb, step=step, use_running_average=not train,
+            )
+            next_result = self.composer.forward_expected_positions(
+                object_idx, next_o, next_d, next_n, w2o_obj[:, 1:],
+                style[:, 1:], deform[:, 1:], validity[:, 1:],
+                perturb=perturb, step=step, use_running_average=not train,
+            )
+            pair_valid = jnp.logical_and(validity[:, :-1], validity[:, 1:])
+            results["coarse"][f"dynamic_object_{dynamic_idx}"] = (
+                prev_result["coarse"][0], next_result["coarse"][0], pair_valid
+            )
+        return results
+
+    def forward_keypoint_consistency(
+        self,
+        encoding: SceneEncoding,
+        keypoints: jnp.ndarray,
+        keypoints_validity: jnp.ndarray,
+        image_size,
+        max_samples_per_image: int,
+        perturb: bool = False,
+        step: jnp.ndarray = 0,
+        train: bool = True,
+    ) -> Dict:
+        """Keypoint-anchored expected positions per dynamic object
+        (environment_model.py:1363-1505): rays through random points of the
+        COCO skeleton, the SAME body point across observations/cameras, give
+        3D positions whose cross-observation spread keypoint_consistency_loss
+        penalizes; opacity at confident keypoints feeds keypoint_opacity_loss.
+
+        :param keypoints: (B, T, C, K, 3, dynamic_objects) normalized
+            (row, col, confidence).
+        :param keypoints_validity: (B, T, C, dynamic_objects) bool.
+        :return: {"coarse": {"dynamic_object_i": (expected (B, T, C, n, 3),
+                 confidence (B, T, C, n), opacity (B, T, C, n),
+                 positions (B, T, C, n, 2))}}.
+        """
+        height, width = image_size
+        directions, origins, normals, c2w, w2o = self._consistency_geometry(
+            encoding, (height, width)
+        )
+
+        static = self.object_ids.static_objects_count
+        results = {"coarse": {}}
+        for dynamic_idx in range(self.object_ids.dynamic_objects_count):
+            object_idx = static + dynamic_idx
+            obj_keypoints = keypoints[..., dynamic_idx]
+            validity = keypoints_validity[..., dynamic_idx]
+            w2o_obj = w2o[..., object_idx, :, :][:, :, None]
+            style = encoding.object_style[..., object_idx, :][:, :, None]
+            deform = encoding.object_deformation[..., object_idx, :][:, :, None]
+
+            key = self.make_rng("sampling")
+            sampled_dirs, positions, confidence = (
+                sampling.sample_rays_at_keypoints(
+                    key, directions, obj_keypoints, max_samples_per_image
+                )
+            )
+            confidence = confidence * validity[..., None]
+
+            world_o, world_d, world_n = rays_lib.transform_rays(
+                origins, sampled_dirs, normals, c2w
+            )
+            result = self.composer.forward_expected_positions(
+                object_idx, world_o, world_d, world_n, w2o_obj,
+                style, deform, validity,
+                perturb=perturb, step=step, use_running_average=not train,
+            )
+            expected, opacity = result["coarse"]
+            results["coarse"][f"dynamic_object_{dynamic_idx}"] = (
+                expected, confidence, opacity, positions
+            )
+        return results
+
+    # ------------------------------------------------------------------
     # Feature decoding (the multiresolution backpropagated decoder path)
     # ------------------------------------------------------------------
 

@@ -341,3 +341,136 @@ def split_strided_grid_samples(
         out.append(chunk.reshape(new_shape))
         begin += count
     return out
+
+
+# ---------------------------------------------------------------------------
+# Continuous-position sampling (grid_sample equivalents) and the consistency
+# samplers built on it.
+# ---------------------------------------------------------------------------
+
+# COCO skeleton edges used to draw keypoint-anchored samples
+# (ray_helper.py:815-832).
+COCO_SEGMENTS = (
+    (0, 11), (0, 12), (5, 6), (5, 7), (5, 11), (5, 12), (6, 8), (6, 11),
+    (6, 12), (7, 9), (8, 10), (11, 12), (11, 13), (12, 14), (13, 15),
+    (14, 16),
+)
+
+
+def sample_at_positions(
+    grid: jnp.ndarray, positions: jnp.ndarray, align_corners: bool = True
+) -> jnp.ndarray:
+    """Bilinear sampling of a pixel grid at continuous normalized positions
+    (the reference's F.grid_sample path, ray_helper.py:1014-1090).
+
+    :param grid: (..., H, W, F).
+    :param positions: (..., n, 2) normalized (row, col) in [0, 1].
+    :param align_corners: True maps 0 -> first and 1 -> last pixel center
+        (the convention used for ray-direction grids).
+    :return: (..., n, F) bilinear samples.
+    """
+    h, w = grid.shape[-3], grid.shape[-2]
+    if align_corners:
+        r = positions[..., 0] * (h - 1)
+        c = positions[..., 1] * (w - 1)
+    else:
+        r = positions[..., 0] * h - 0.5
+        c = positions[..., 1] * w - 0.5
+    r = jnp.clip(r, 0.0, h - 1)
+    c = jnp.clip(c, 0.0, w - 1)
+    r0 = jnp.clip(jnp.floor(r).astype(jnp.int32), 0, h - 1)
+    c0 = jnp.clip(jnp.floor(c).astype(jnp.int32), 0, w - 1)
+    r1 = jnp.minimum(r0 + 1, h - 1)
+    c1 = jnp.minimum(c0 + 1, w - 1)
+    wr = (r - r0)[..., None]
+    wc = (c - c0)[..., None]
+
+    flat = grid.reshape(grid.shape[:-3] + (h * w, grid.shape[-1]))
+
+    def take(rr, cc):
+        idx = rr * w + cc
+        return jnp.take_along_axis(flat, idx[..., None], axis=-2)
+
+    top = take(r0, c0) * (1 - wc) + take(r0, c1) * wc
+    bottom = take(r1, c0) * (1 - wc) + take(r1, c1) * wc
+    return top * (1 - wr) + bottom * wr
+
+
+def sample_rays_at_object(
+    key: jax.Array,
+    ray_directions: jnp.ndarray,
+    feature_images: jnp.ndarray,
+    samples_per_image: int,
+    bounding_box: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Sample rays uniformly inside an object's 2D box, paired with the
+    feature image values at the sampled pixels (ray_helper.py:910-1012 —
+    there a per-scene Python CDF loop; here one batched inverse-CDF draw).
+
+    :param ray_directions: (..., H, W, 3).
+    :param feature_images: (..., H, W, F) (e.g. optical flow).
+    :param bounding_box: (..., 4) normalized ltrb.
+    :return: (directions (..., n, 3), features (..., n, F),
+        positions (..., n, 2) normalized (row, col)).
+    """
+    h, w = ray_directions.shape[-3], ray_directions.shape[-2]
+    weight_image = build_weight_image(
+        bounding_box[..., None, :], [1.0], h, w
+    )
+    # Degenerate (zero-area) boxes fall back to uniform sampling.
+    total = jnp.sum(weight_image, axis=(-1, -2), keepdims=True)
+    weight_image = jnp.where(total > 0, weight_image, 1.0)
+    idx = sample_indices_from_weights(key, weight_image, samples_per_image)
+    positions = indices_to_positions(idx, h, w)
+
+    flat_dirs = ray_directions.reshape(
+        ray_directions.shape[:-3] + (h * w, 3)
+    )
+    directions = jnp.take_along_axis(flat_dirs, idx[..., None], axis=-2)
+    flat_feats = feature_images.reshape(
+        feature_images.shape[:-3] + (h * w, feature_images.shape[-1])
+    )
+    features = jnp.take_along_axis(flat_feats, idx[..., None], axis=-2)
+    return directions, features, positions
+
+
+def sample_rays_at_keypoints(
+    key: jax.Array,
+    ray_directions: jnp.ndarray,
+    keypoints: jnp.ndarray,
+    max_samples_per_image: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Sample rays along the COCO skeleton drawn by 2D keypoints
+    (ray_helper.py:797-908): each sample sits at a random fraction along a
+    skeleton segment, with the SAME fraction reused across the observation
+    and camera axes of a sequence so the sampled body point corresponds.
+
+    :param ray_directions: (..., T, C, H, W, 3).
+    :param keypoints: (..., T, C, K, 3) normalized (row, col, confidence).
+    :return: (directions (..., T, C, n, 3), positions (..., T, C, n, 2),
+        confidences (..., T, C, n)).
+    """
+    segments = jnp.asarray(COCO_SEGMENTS)
+    begins = keypoints[..., segments[:, 0], :]  # (..., T, C, S, 3)
+    ends = keypoints[..., segments[:, 1], :]
+
+    n_segments = len(COCO_SEGMENTS)
+    reps = -(-max_samples_per_image // n_segments)
+    begins = jnp.tile(begins, (1,) * (begins.ndim - 2) + (reps, 1))[
+        ..., :max_samples_per_image, :
+    ]
+    ends = jnp.tile(ends, (1,) * (ends.ndim - 2) + (reps, 1))[
+        ..., :max_samples_per_image, :
+    ]
+
+    # One fraction per (sequence, sample): shared over T and C axes.
+    lead = keypoints.shape[:-4]
+    fractions = jax.random.uniform(
+        key, lead + (1, 1, max_samples_per_image, 1), dtype=keypoints.dtype
+    )
+    points = begins + (ends - begins) * fractions  # (..., T, C, n, 3)
+    positions = points[..., :2]
+    confidences = points[..., 2]
+
+    directions = sample_at_positions(ray_directions, positions)
+    return directions, positions, confidences

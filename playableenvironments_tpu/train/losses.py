@@ -278,7 +278,8 @@ def pose_consistency_loss(
     :param both_valid: (...) validity of the pair (object present in both).
     """
     sq = jnp.square(previous_expected_positions - next_expected_positions)
-    return masked_mean(sq, both_valid[..., None, None, None])
+    # both_valid is (..., observations-1, cameras); expand over (rays, 3).
+    return masked_mean(sq, both_valid[..., None, None])
 
 
 def keypoint_consistency_loss(

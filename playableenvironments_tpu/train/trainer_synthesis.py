@@ -38,6 +38,13 @@ class LossWeights:
     sharpness: float = 0.0
     sharpness_mean: float = 0.5
     sharpness_std: float = 0.15
+    # Auxiliary consistency supervision (trainer.py:646-659; used when the
+    # dataset carries optical flow / keypoints).
+    pose_consistency: float = 0.0
+    keypoint_consistency: float = 0.0
+    keypoint_opacity: float = 0.0
+    keypoint_confidence_threshold: float = 0.3
+    consistency_samples: int = 16
 
 
 @dataclass(frozen=True)
@@ -235,6 +242,62 @@ class SynthesisTrainer:
             )
             metrics["bounding_box_loss"] = bbox_loss
             total = total + w.bounding_box * bbox_loss
+
+        # Consistency passes (trainer.py:646-659 runs these as extra
+        # backward passes; one fused graph here).
+        encoding = results["scene_encoding"]
+        if w.pose_consistency > 0.0 and batch.optical_flow is not None:
+            pose_out, _ = self.model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                encoding,
+                batch.optical_flow,
+                batch.bounding_boxes,
+                batch.bounding_boxes_validity,
+                w.consistency_samples,
+                perturb=self.cfg.perturb,
+                step=step,
+                train=True,
+                method=EnvironmentModel.forward_pose_consistency,
+                rngs=split_rngs(jax.random.fold_in(key, 1)),
+                mutable=["batch_stats"],
+            )
+            for name, (prev, nxt, pair_valid) in pose_out["coarse"].items():
+                pc = losses.pose_consistency_loss(prev, nxt, pair_valid)
+                metrics[f"{name}_pose_consistency_loss"] = pc
+                total = total + w.pose_consistency * pc
+
+        if (
+            (w.keypoint_consistency > 0.0 or w.keypoint_opacity > 0.0)
+            and batch.keypoints is not None
+        ):
+            height, width = batch.observations.shape[-3:-1]
+            kp_out, _ = self.model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                encoding,
+                batch.keypoints,
+                batch.keypoints_validity,
+                (height, width),
+                w.consistency_samples,
+                perturb=self.cfg.perturb,
+                step=step,
+                train=True,
+                method=EnvironmentModel.forward_keypoint_consistency,
+                rngs=split_rngs(jax.random.fold_in(key, 2)),
+                mutable=["batch_stats"],
+            )
+            for name, (expected, confidence, opacity, _) in kp_out[
+                "coarse"
+            ].items():
+                kc = losses.keypoint_consistency_loss(
+                    expected, confidence, w.keypoint_confidence_threshold
+                )
+                ko = losses.keypoint_opacity_loss(
+                    opacity, confidence, w.keypoint_confidence_threshold
+                )
+                metrics[f"{name}_keypoint_consistency_loss"] = kc
+                metrics[f"{name}_keypoint_opacity_loss"] = ko
+                total = total + w.keypoint_consistency * kc
+                total = total + w.keypoint_opacity * ko
 
         # Pose statistics (logged, not optimized; trainer.py:509-530).
         for object_idx in range(static_objects, self.object_ids.objects_count):

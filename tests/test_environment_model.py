@@ -228,3 +228,74 @@ def test_camera_parameters_storage():
     np.testing.assert_allclose(np.asarray(rot_tr), 1.0)
     np.testing.assert_allclose(np.asarray(trans_tr), 10.0)
     np.testing.assert_allclose(np.asarray(focal_tr), 1000.0)
+
+
+def test_forward_pose_consistency(model_and_vars):
+    """Zero optical flow + a static scene: previous and next expected
+    positions must coincide (same rays, same geometry)."""
+    model, variables = model_and_vars
+    (observations, camera_rotations, camera_translations, focals, boxes,
+     validity, frame_indexes) = batch_inputs()
+    (encoding, _), _ = model.apply(
+        variables, observations, camera_rotations, camera_translations,
+        focals, boxes, validity, frame_indexes, train=False,
+        method=EnvironmentModel.compute_scene_encoding,
+        rngs=RNGS, mutable=["batch_stats"],
+    )
+    flow = jnp.zeros((B, T, C, H, W, 2))
+    out, _ = model.apply(
+        variables, encoding, flow, boxes, validity, 6,
+        method=EnvironmentModel.forward_pose_consistency,
+        rngs=RNGS, mutable=["batch_stats"],
+    )
+    prev, nxt, pair_valid = out["coarse"]["dynamic_object_0"]
+    assert prev.shape == (B, T - 1, C, 6, 3)
+    assert nxt.shape == (B, T - 1, C, 6, 3)
+    assert pair_valid.shape == (B, T - 1, C)
+    # Same encoding at both steps + zero flow -> identical expected points.
+    np.testing.assert_allclose(np.asarray(prev), np.asarray(nxt), atol=1e-4)
+
+    from playableenvironments_tpu.train import losses as L
+
+    loss = L.pose_consistency_loss(prev, nxt, pair_valid)
+    assert float(loss) < 1e-6
+
+
+def test_forward_keypoint_consistency(model_and_vars):
+    model, variables = model_and_vars
+    (observations, camera_rotations, camera_translations, focals, boxes,
+     validity, frame_indexes) = batch_inputs()
+    (encoding, _), _ = model.apply(
+        variables, observations, camera_rotations, camera_translations,
+        focals, boxes, validity, frame_indexes, train=False,
+        method=EnvironmentModel.compute_scene_encoding,
+        rngs=RNGS, mutable=["batch_stats"],
+    )
+    kp = jnp.concatenate(
+        [
+            jnp.full((B, T, C, 17, 1, 1), 0.5),
+            jnp.full((B, T, C, 17, 1, 1), 0.5),
+            jnp.ones((B, T, C, 17, 1, 1)),  # confidence
+        ],
+        axis=-2,
+    )
+    kp_validity = jnp.ones((B, T, C, 1), dtype=bool)
+    out, _ = model.apply(
+        variables, encoding, kp, kp_validity, (H, W), 8,
+        method=EnvironmentModel.forward_keypoint_consistency,
+        rngs=RNGS, mutable=["batch_stats"],
+    )
+    expected, confidence, opacity, positions = out["coarse"]["dynamic_object_0"]
+    assert expected.shape == (B, T, C, 8, 3)
+    assert confidence.shape == (B, T, C, 8)
+    assert opacity.shape == (B, T, C, 8)
+    assert positions.shape == (B, T, C, 8, 2)
+    # All keypoints identical at (0.5, 0.5) -> every sampled position is 0.5.
+    np.testing.assert_allclose(np.asarray(positions), 0.5, atol=1e-6)
+    # Same encoding across observations -> consistency loss is ~0.
+    from playableenvironments_tpu.train import losses as L
+
+    loss = L.keypoint_consistency_loss(expected, confidence, 0.1)
+    assert float(loss) < 1e-6
+    op_loss = L.keypoint_opacity_loss(opacity, confidence, 0.1)
+    assert np.isfinite(float(op_loss))

@@ -142,3 +142,80 @@ def test_mutual_information_smoothing_state():
         d, d, smoothing_matrix=jnp.ones((3, 3)) / 9, smoothing_alpha=0.5
     )
     assert float(loss2) > float(loss1)  # smoothing toward uniform reduces MI
+
+
+def test_consistency_losses_in_train_step(setup):
+    """Pose + keypoint consistency terms compute and backprop when the batch
+    carries optical flow and keypoints."""
+    import dataclasses
+
+    trainer, state, batch, _ = setup
+    B_, T_, C_ = batch.observations.shape[:3]
+    H_, W_ = batch.observations.shape[-3:-1]
+    flow = np.full((B_, T_, C_, H_, W_, 2), 0.01, np.float32)
+    kp = np.concatenate(
+        [
+            np.full((B_, T_, C_, 17, 2, 1), 0.5, np.float32),
+            np.ones((B_, T_, C_, 17, 1, 1), np.float32),
+        ],
+        axis=-2,
+    )
+    rich_batch = dataclasses.replace(
+        batch,
+        optical_flow=jnp.asarray(flow),
+        keypoints=jnp.asarray(kp),
+        keypoints_validity=jnp.ones((B_, T_, C_, 1), bool),
+    )
+    cfg = dataclasses.replace(
+        trainer.cfg,
+        loss_weights=dataclasses.replace(
+            trainer.cfg.loss_weights,
+            pose_consistency=1.0,
+            keypoint_consistency=1.0,
+            keypoint_opacity=0.1,
+            consistency_samples=6,
+        ),
+    )
+    rich_trainer = SynthesisTrainer(trainer.model, cfg)
+    new_state, metrics = rich_trainer.train_step(
+        jax.tree.map(jnp.copy, state), rich_batch, jax.random.PRNGKey(3)
+    )
+    assert "dynamic_object_0_pose_consistency_loss" in metrics
+    assert "dynamic_object_0_keypoint_consistency_loss" in metrics
+    assert "dynamic_object_0_keypoint_opacity_loss" in metrics
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_dataset_loads_flow_and_keypoints(tmp_path):
+    """Flow npy files and keypoint pickles round-trip into the Batch."""
+    import pickle
+
+    from playableenvironments_tpu.data.synthetic import make_synthetic_dataset
+
+    root = make_synthetic_dataset(
+        str(tmp_path), videos=1, frames=4, height=8, width=12
+    )
+    cam_dir = os.path.join(root, "train", "00000", "00000")
+    flow_dir = os.path.join(cam_dir, "flow")
+    os.makedirs(flow_dir)
+    for i in range(4):
+        np.save(
+            os.path.join(flow_dir, f"{i:05d}.npy"),
+            np.full((8, 12, 2), 0.25, np.float32),
+        )
+    kp = [np.full((17, 3, 1), 0.5, np.float32) for _ in range(4)]
+    with open(os.path.join(cam_dir, "keypoints.pkl"), "wb") as f:
+        pickle.dump(kp, f)
+    with open(os.path.join(cam_dir, "keypoints_validity.pkl"), "wb") as f:
+        pickle.dump([np.ones(1, bool) for _ in range(4)], f)
+
+    dataset = MulticameraVideoDataset(
+        os.path.join(root, "train"), observations_count=2
+    )
+    batch = next(dataset.iterate_batches(batch_size=1, shuffle=False))
+    assert batch.optical_flow is not None
+    assert batch.optical_flow.shape == (1, 2, 1, 8, 12, 2)
+    np.testing.assert_allclose(np.asarray(batch.optical_flow), 0.25)
+    assert batch.keypoints is not None
+    assert batch.keypoints.shape == (1, 2, 1, 17, 3, 1)
+    assert batch.keypoints_validity.shape == (1, 2, 1, 1)

@@ -167,12 +167,38 @@ def run_synthesis_training(
     from playableenvironments_tpu.utils.meters import AverageMeter, TimeMeter
 
     meter, timer = AverageMeter(), TimeMeter()
+
+    # Profiling (the torch.profiler epoch wrap, trainer.py:94-97/607-618):
+    # training.enable_profiling captures a jax.profiler trace of
+    # [profile_start_step, profile_start_step + profile_steps) into
+    # <results>/profile, viewable in TensorBoard/Perfetto.
+    enable_profiling = bool(cfg["training"].get("enable_profiling", False))
+    profile_start = int(cfg["training"].get("profile_start_step", 10))
+    profile_steps = int(cfg["training"].get("profile_steps", 5))
+    profiling_active = False
+
     epoch = 0
     while int(state.step) < train_cfg.max_steps:
         for batch in dataset.iterate_batches(batch_size, seed=seed + epoch):
             key = jax.random.fold_in(jax.random.PRNGKey(seed), int(state.step))
+            if enable_profiling and int(state.step) == profile_start:
+                jax.profiler.start_trace(os.path.join(results_dir, "profile"))
+                profiling_active = True
             with timer.section("step"):
-                state, metrics = step_fn(state, batch, key)
+                with jax.profiler.StepTraceAnnotation(
+                    "train_step", step_num=int(state.step)
+                ):
+                    state, metrics = step_fn(state, batch, key)
+            if profiling_active and int(state.step) >= profile_start + profile_steps:
+                jax.tree.map(
+                    lambda x: x.block_until_ready() if hasattr(x, "block_until_ready") else x,
+                    metrics,
+                )
+                jax.profiler.stop_trace()
+                profiling_active = False
+                logger.print(
+                    f"profiler trace written to {results_dir}/profile"
+                )
             step = int(state.step)
             meter.add({k: float(v) for k, v in metrics.items()})
             if step % log_interval == 0:

@@ -532,6 +532,15 @@ class EnvironmentModel(nn.Module):
         whole-image strided grid; otherwise weighted or uniform sampling.
         """
         height, width = observations.shape[-3], observations.shape[-2]
+        if self.scene.autoencoder is not None and self.is_initializing():
+            # Materialize the FULL autoencoder (encoder included) at init:
+            # phase-1 checkpoints carry both halves, and the encoder-mixing
+            # variant (decode_mixed_grids) needs encoder parameters even when
+            # the training path only decodes.
+            self.autoencoder_model.encode(
+                observations.reshape((-1,) + observations.shape[-3:]),
+                train=False,
+            )
         encoding, aux = self.compute_scene_encoding(
             observations,
             camera_rotations,
@@ -995,6 +1004,81 @@ class EnvironmentModel(nn.Module):
             lead = grids[0].shape[:-3]
             flat_grids = [g.reshape((-1,) + g.shape[-3:]) for g in grids]
             decoded = self.autoencoder_model.decode(flat_grids, train=train)
+            global_results["reconstructed_observations"] = decoded.reshape(
+                lead + decoded.shape[1:]
+            )
+        return results
+
+    def decode_mixed_grids(
+        self,
+        observations: jnp.ndarray,
+        results: Dict,
+        image_size: Tuple[int, int],
+        train: bool = False,
+    ) -> Dict:
+        """Decode whole-image grids with ENCODER-FEATURE MIXING: the VAE
+        encoder's latents, with the rendered NeRF samples scattered in at
+        their grid positions, feed the decoder. The backpropagated-
+        autoencoder pipeline variant (environment_model_backpropagated_
+        autoencoder.py:170-245 + the multiresolution split 178-218); the
+        published model instead decodes NeRF features alone
+        (decode_rendered_grids).
+
+        :param observations: (B, T, C, H, W, 3) ground-truth frames (the
+            encoder's input).
+        :param results: renderer output on `sample_all_rays_strided_grid`
+            with the autoencoder's strides.
+        """
+        from playableenvironments_tpu.models.autoencoder import (
+            autoencoder_strides,
+            features_count_by_layer,
+        )
+
+        ae_cfg = self.scene.autoencoder
+        strides = autoencoder_strides(ae_cfg)
+        counts = features_count_by_layer(ae_cfg)
+        height, width = image_size
+
+        lead = observations.shape[:-3]
+        flat_observations = observations.reshape((-1,) + observations.shape[-3:])
+        encoded_levels = self.autoencoder_model.encode(flat_observations, train)
+
+        for pass_name in ("coarse", "fine"):
+            if pass_name not in results:
+                continue
+            global_results = results[pass_name]["global"]
+            features = global_results["integrated_features"]
+            positions = results["positions"]
+
+            level_features, begin = [], 0
+            for count in counts:
+                level_features.append(features[..., begin : begin + count])
+                begin += count
+            level_positions = sampling.split_strided_grid_samples(
+                positions, strides, image_size
+            )
+
+            mixed_levels = []
+            for level_idx, (feats, level) in enumerate(
+                zip(level_features, encoded_levels)
+            ):
+                # Encoder levels are (mean ++ logvar); mix into the mean.
+                mean = level[..., : level.shape[-1] // 2]  # (N, h_l, w_l, F_l)
+                level_samples = sampling.split_strided_grid_samples(
+                    feats, strides, image_size
+                )[level_idx]  # (B, T, C, gh, gw, F_l)
+                flat_samples = level_samples.reshape(
+                    (mean.shape[0], -1, level_samples.shape[-1])
+                )
+                flat_pos = level_positions[level_idx].reshape(
+                    (mean.shape[0], -1, 2)
+                )
+                mixed = sampling.insert_samples_into_features(
+                    mean, flat_samples, flat_pos, (height, width)
+                )
+                mixed_levels.append(mixed)
+
+            decoded = self.autoencoder_model.decode(mixed_levels, train)
             global_results["reconstructed_observations"] = decoded.reshape(
                 lead + decoded.shape[1:]
             )

@@ -474,3 +474,50 @@ def sample_rays_at_keypoints(
 
     directions = sample_at_positions(ray_directions, positions)
     return directions, positions, confidences
+
+
+def insert_samples_into_features(
+    features: jnp.ndarray,
+    samples: jnp.ndarray,
+    sample_positions: jnp.ndarray,
+    original_image_size: Tuple[int, int],
+) -> jnp.ndarray:
+    """Scatter rendered NeRF samples into an encoder feature grid at their
+    pixel positions (environment_model_backpropagated_autoencoder.py:247-302
+    — NHWC here, and unlike the reference's in-place scatter the functional
+    `.at[].set` has exact gradients also under index collisions).
+
+    :param features: (..., h, w, F) feature grid (resolution = image / k).
+    :param samples: (..., n, F) rendered feature samples.
+    :param sample_positions: (..., n, 2) normalized (row, col) positions in
+        the ORIGINAL image.
+    :param original_image_size: (H, W) original image size; must be an
+        integer multiple of the feature grid size.
+    :return: (..., h, w, F) grid with samples written at their cells.
+    """
+    h, w, f = features.shape[-3], features.shape[-2], features.shape[-1]
+    height, width = original_image_size
+    if height % h or width // (height // h) != w:
+        raise ValueError(
+            f"feature grid {(h, w)} does not evenly divide image "
+            f"{original_image_size}"
+        )
+    factor = height // h
+
+    flat_features = features.reshape((-1, h * w, f))
+    flat_samples = samples.reshape((-1,) + samples.shape[-2:])
+    flat_positions = sample_positions.reshape((-1,) + sample_positions.shape[-2:])
+
+    rows = jnp.floor(
+        jnp.round(flat_positions[..., 0] * height) / factor
+    ).astype(jnp.int32)
+    cols = jnp.floor(
+        jnp.round(flat_positions[..., 1] * width) / factor
+    ).astype(jnp.int32)
+    rows = jnp.clip(rows, 0, h - 1)
+    cols = jnp.clip(cols, 0, w - 1)
+    idx = rows * w + cols  # (L, n)
+
+    batch_idx = jnp.arange(flat_features.shape[0])[:, None]
+    mixed = flat_features.at[batch_idx, idx].set(flat_samples)
+    return mixed.reshape(features.shape)

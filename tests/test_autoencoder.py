@@ -241,3 +241,52 @@ def test_full_frame_decode_from_scene_encoding():
     assert out["coarse"]["global"]["reconstructed_observations"].shape == (
         1, 1, 1, 64, 64, 3,
     )
+
+
+def test_insert_samples_into_features(key):
+    from playableenvironments_tpu.render import sampling
+
+    features = jnp.zeros((2, 4, 6, 3))
+    samples = jnp.ones((2, 2, 3)) * jnp.asarray([[[1.0], [2.0]]])
+    # Positions in a 16x24 original image (factor 4): cells (0,0) and (3,5).
+    positions = jnp.asarray(
+        [[[0.5 / 16, 0.5 / 24], [14.0 / 16, 22.0 / 24]]]
+    ).repeat(2, 0)
+    mixed = sampling.insert_samples_into_features(
+        features, samples, positions, (16, 24)
+    )
+    np.testing.assert_allclose(np.asarray(mixed[0, 0, 0]), 1.0)
+    np.testing.assert_allclose(np.asarray(mixed[0, 3, 5]), 2.0)
+    assert float(jnp.abs(mixed).sum()) == pytest.approx(2 * 3 * (1 + 2))
+
+    # Gradients flow into the scattered samples.
+    g = jax.grad(
+        lambda s: jnp.sum(
+            sampling.insert_samples_into_features(features, s, positions, (16, 24))
+        )
+    )(samples)
+    np.testing.assert_allclose(np.asarray(g), 1.0)
+
+
+def test_encoder_mixed_full_frame_decode():
+    """The backpropagated-autoencoder variant: encoder latents mixed with
+    rendered grid samples decode to a full frame."""
+    model = EnvironmentModel(decoder_scene())
+    batch = decoder_batch()
+    variables = model.init(
+        RNGS, *batch.environment_model_args(), samples_per_image=144,
+        patch_size=8, patch_strides=(4, 8), decode_patches=True,
+    )
+    out, _ = model.apply(
+        variables, *batch.environment_model_args(), samples_per_image=0,
+        patch_strides=(4, 8),
+        rngs=RNGS, mutable=["batch_stats"],
+    )
+    mixed, _ = model.apply(
+        variables, batch.observations, out, (64, 64), False,
+        method=EnvironmentModel.decode_mixed_grids,
+        rngs=RNGS, mutable=["batch_stats"],
+    )
+    frame = mixed["coarse"]["global"]["reconstructed_observations"]
+    assert frame.shape == (1, 1, 1, 64, 64, 3)
+    assert np.isfinite(np.asarray(frame)).all()

@@ -164,6 +164,29 @@ def run_synthesis_training(
     step_fn = jax.jit(trainer.train_step, donate_argnums=0)
     log_interval = int(cfg["training"].get("log_interval_steps", 10))
     save_freq = int(cfg["training"].get("save_freq", 30000))
+    eval_freq = int(cfg["training"].get("eval_freq", 0))
+
+    evaluator = None
+    eval_batch = None
+    if eval_freq:
+        # Training-time qualitative evaluation (evaluation/evaluator.py):
+        # render a validation batch full-frame + a novel view, log the grid.
+        from playableenvironments_tpu.eval.training_evaluator import (
+            TrainingEvaluator,
+        )
+
+        try:
+            val_dataset = build_dataset(cfg, "val")
+        except FileNotFoundError:
+            val_dataset = dataset
+        eval_batch = next(val_dataset.iterate_batches(1, shuffle=False))
+        image_size = eval_batch.observations.shape[-3:-1]
+        evaluator = TrainingEvaluator(
+            model, image_size,
+            patch_strides=train_cfg.patch_strides
+            if model.scene.autoencoder is not None
+            else None,
+        )
     from playableenvironments_tpu.utils.meters import AverageMeter, TimeMeter
 
     meter, timer = AverageMeter(), TimeMeter()
@@ -207,6 +230,11 @@ def run_synthesis_training(
                 logger.log(logged, step)
             if step % save_freq == 0 or step >= train_cfg.max_steps:
                 checkpointing.save_checkpoint(checkpoints_dir, state)
+            if evaluator is not None and step % eval_freq == 0:
+                evaluator.evaluate(
+                    {"params": state.params, "batch_stats": state.batch_stats},
+                    eval_batch, logger, step,
+                )
             if step >= train_cfg.max_steps:
                 break
         epoch += 1

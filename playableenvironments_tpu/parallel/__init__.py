@@ -2,6 +2,8 @@
 
 from playableenvironments_tpu.parallel.mesh import (
     batch_sharding,
+    constrain_ray_axis,
+    create_2d_mesh,
     create_mesh,
     replicate,
     shard_batch,

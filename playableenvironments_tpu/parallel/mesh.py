@@ -50,3 +50,48 @@ def replicate(tree: Any, mesh: Mesh) -> Any:
     """Replicate a pytree (parameters, train state) on every device."""
     sharding = replicated(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
+RAYS_AXIS = "rays"
+
+
+def create_2d_mesh(
+    devices: Optional[Sequence[jax.Device]] = None,
+    data: int = 0,
+    data_axis: str = DATA_AXIS,
+    rays_axis: str = RAYS_AXIS,
+) -> Mesh:
+    """A (data, rays) mesh: batch sharded over `data`, the per-example ray
+    axis sharded over `rays` (rays are embarrassingly parallel until the
+    per-ray integral, which stays device-local — SURVEY.md §2.i SP row).
+
+    :param data: data-axis size (0 = all devices on data, rays size 1).
+    """
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    n = devices.size
+    if data <= 0:
+        data = n
+    if n % data:
+        raise ValueError(f"{n} devices not divisible by data={data}")
+    return Mesh(devices.reshape(data, n // data), (data_axis, rays_axis))
+
+
+def constrain_ray_axis(
+    x: jax.Array,
+    ray_axis: int,
+    data_axis_name: str = DATA_AXIS,
+    rays_axis_name: str = RAYS_AXIS,
+) -> jax.Array:
+    """Apply an SP-style sharding constraint: leading axis on the data mesh
+    axis, `ray_axis` on the rays mesh axis. No-op unless the ambient mesh
+    (jax.set_mesh) carries a rays axis — single-mesh DP runs are untouched.
+    """
+    mesh = jax.sharding.get_abstract_mesh()
+    if rays_axis_name not in mesh.axis_names:
+        return x
+    ray_axis = ray_axis % x.ndim
+    spec = [None] * x.ndim
+    if data_axis_name in mesh.axis_names:
+        spec[0] = data_axis_name
+    spec[ray_axis] = rays_axis_name
+    return jax.lax.with_sharding_constraint(x, PartitionSpec(*spec))

@@ -595,6 +595,15 @@ class EnvironmentModel(nn.Module):
                 )
             )
 
+        # SP-style ray sharding: when the ambient mesh has a "rays" axis
+        # (parallel.create_2d_mesh under jax.set_mesh), split the sampled ray
+        # axis across it — rays are independent until the per-ray integral,
+        # so XLA keeps the whole render local and all-gathers only the
+        # integrated features (SURVEY.md §2.i sequence-parallel row).
+        from playableenvironments_tpu.parallel.mesh import constrain_ray_axis
+
+        sampled_directions = constrain_ray_axis(sampled_directions, -2)
+
         results = self.render_sampled_rays(
             encoding,
             sampled_directions,

@@ -219,3 +219,37 @@ def test_dataset_loads_flow_and_keypoints(tmp_path):
     assert batch.keypoints is not None
     assert batch.keypoints.shape == (1, 2, 1, 17, 3, 1)
     assert batch.keypoints_validity.shape == (1, 2, 1, 1)
+
+
+def test_multichip_data_plus_ray_parallel_step(setup):
+    """2D (data, rays) mesh: the full train step compiles and runs with the
+    batch sharded over `data` and ray-axis sharding constraints active."""
+    from playableenvironments_tpu.parallel import mesh as mesh_lib
+
+    trainer, state, batch, _ = setup
+    devices = jax.devices()[:8]
+    mesh = mesh_lib.create_2d_mesh(devices, data=2)
+    assert mesh.shape["data"] == 2 and mesh.shape["rays"] == 4
+
+    state2 = jax.tree.map(jnp.copy, state)
+    with jax.set_mesh(mesh):
+        sharded = jax.tree.map(
+            lambda x: jax.device_put(
+                x,
+                jax.sharding.NamedSharding(
+                    mesh, jax.sharding.PartitionSpec("data")
+                ),
+            ),
+            batch,
+        )
+        replicated = jax.tree.map(
+            lambda x: jax.device_put(
+                x, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+            ),
+            state2,
+        )
+        new_state, metrics = jax.jit(trainer.train_step)(
+            replicated, sharded, jax.random.PRNGKey(5)
+        )
+        assert np.isfinite(float(metrics["loss"]))
+        assert int(new_state.step) == 1

@@ -246,6 +246,79 @@ class Video:
                 setattr(self, attr, _load_pickle(file_path))
         return self
 
+    def subsample_split_resize(
+        self,
+        frame_skip: int,
+        output_sequence_length: int,
+        crop_size: Optional[Tuple[int, int, int, int]] = None,
+        target_size: Optional[Tuple[int, int]] = None,
+        min_sequence_length: Optional[int] = None,
+    ) -> List["Video"]:
+        """Temporal subsample + fixed-length split + optional crop/resize
+        (the dataset-preparation op, dataset/video.py:625-733). Optical flow
+        is not carried over.
+
+        :param frame_skip: source frames skipped between kept frames.
+        :param output_sequence_length: frames per output video (-1 keeps all).
+        :param crop_size: (left, top, right, bottom) pixel crop before resize.
+        :param target_size: (height, width) output frame size.
+        :return: list of Videos.
+        """
+        step = frame_skip + 1
+        indexes = list(range(0, self.frames_count, step))
+
+        def prepare(idx: int) -> np.ndarray:
+            frame = self.get_frame(idx)
+            if crop_size is not None:
+                left, top, right, bottom = crop_size
+                frame = frame[top:bottom, left:right]
+            if target_size is not None and frame.shape[:2] != tuple(target_size):
+                from PIL import Image
+
+                img = Image.fromarray((frame * 255).astype(np.uint8))
+                frame = (
+                    np.asarray(
+                        img.resize((target_size[1], target_size[0]), Image.BICUBIC),
+                        np.float32,
+                    )
+                    / 255.0
+                )
+            return frame
+
+        length = (
+            len(indexes) if output_sequence_length == -1 else output_sequence_length
+        )
+        minimum = min_sequence_length if min_sequence_length is not None else length
+        videos = []
+        for begin in range(0, len(indexes), length):
+            chunk = indexes[begin : begin + length]
+            if len(chunk) < minimum:
+                continue
+            video = Video()
+            optional = {}
+            for key in self.OPTIONAL_PICKLE_FILES:
+                value = getattr(self, key)
+                if value is not None and hasattr(value, "__len__") and len(
+                    value
+                ) == self.frames_count:
+                    optional[key] = [value[i] for i in chunk]
+            video.add_content(
+                frames=[prepare(i) for i in chunk],
+                actions=[self.actions[i] for i in chunk],
+                rewards=[self.rewards[i] for i in chunk],
+                metadata=[self.metadata[i] for i in chunk],
+                dones=[self.dones[i] for i in chunk],
+                cameras=[self.cameras[i] for i in chunk],
+                focals=[self.focals[i] for i in chunk],
+                bounding_boxes=[self.bounding_boxes[i] for i in chunk],
+                bounding_boxes_validity=[
+                    self.bounding_boxes_validity[i] for i in chunk
+                ],
+                **optional,
+            )
+            videos.append(video)
+        return videos
+
     def save(self, path: str, exists_ok: bool = False):
         """Write the reference on-disk layout (dataset/video.py:765-815)."""
         os.makedirs(path, exist_ok=exists_ok)

@@ -270,3 +270,24 @@ def delta_mse_action_accuracy(
     distances = np.linalg.norm(movements[:, None, :] - means[None], axis=-1)
     predicted = distances.argmin(axis=1)
     return float((predicted == actions).mean())
+
+
+def inception_score(
+    class_probabilities: np.ndarray, splits: int = 1, eps: float = 1e-12
+) -> float:
+    """Inception Score from per-image class probabilities:
+    exp(E_x[KL(p(y|x) || p(y))]) averaged over splits
+    (evaluation/metrics/inception_score.py:58; the class probabilities come
+    from any classifier head, e.g. softmax of eval.inception_v3 logits).
+
+    :param class_probabilities: (N, classes), rows summing to 1.
+    """
+    p = np.asarray(class_probabilities, np.float64)
+    n = p.shape[0]
+    scores = []
+    for split in np.array_split(np.arange(n), splits):
+        part = p[split]
+        marginal = part.mean(axis=0, keepdims=True)
+        kl = np.sum(part * (np.log(part + eps) - np.log(marginal + eps)), axis=1)
+        scores.append(np.exp(kl.mean()))
+    return float(np.mean(scores))

@@ -311,6 +311,30 @@ def keypoint_opacity_loss(
     )
 
 
+def head_selection_loss(
+    head_selection_logits: jnp.ndarray, ground_truth_indexes: jnp.ndarray
+) -> jnp.ndarray:
+    """Masked cross entropy for multi-head selection (losses.py:539-570):
+    rows whose first logit is exactly 0 were outside the bounding box and
+    are excluded.
+
+    :param head_selection_logits: (B, ..., heads).
+    :param ground_truth_indexes: (B,) int per-sample head index.
+    """
+    heads = head_selection_logits.shape[-1]
+    flat = head_selection_logits.reshape(-1, heads)
+    gt = jnp.broadcast_to(
+        ground_truth_indexes.reshape(
+            (-1,) + (1,) * (head_selection_logits.ndim - 2)
+        ),
+        head_selection_logits.shape[:-1],
+    ).reshape(-1)
+    log_probs = jax.nn.log_softmax(flat, axis=-1)
+    nll = -jnp.take_along_axis(log_probs, gt[:, None], axis=-1)[:, 0]
+    mask = flat[:, 0] != 0.0
+    return masked_mean(nll, mask)
+
+
 def squared_l2_norm_loss(features: jnp.ndarray) -> jnp.ndarray:
     """Mean squared feature norm (..., H, W, F). Reference: losses.py:873-891."""
     return jnp.mean(jnp.sum(jnp.square(features), axis=-1))

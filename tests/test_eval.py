@@ -200,3 +200,62 @@ def test_evaluator_identity_and_generated(eval_setup):
     import yaml
     loaded = yaml.safe_load(open(path))
     assert "mse" in loaded
+
+
+def test_inception_score_properties(rng):
+    # Uniform probabilities -> IS == 1; one-hot over many classes -> high IS.
+    uniform = np.full((50, 10), 0.1)
+    assert M.inception_score(uniform) == pytest.approx(1.0, abs=1e-6)
+    onehot = np.eye(10)[rng.integers(0, 10, 200)] * 0.999 + 1e-4
+    onehot /= onehot.sum(1, keepdims=True)
+    assert M.inception_score(onehot) > 5.0
+
+
+def test_drawing_boxes_and_axes(rng):
+    from playableenvironments_tpu.utils.drawing import draw_axes, draw_boxes
+
+    frame = np.full((32, 48, 3), 0.5, np.float32)
+    boxes = np.asarray([[0.2, 0.2, 0.6, 0.8]])
+    out = draw_boxes(frame, boxes, validity=np.asarray([True]), labels=["p1"])
+    assert out.dtype == np.uint8 and out.shape == frame.shape
+    assert not np.all(out == out[0, 0])  # something was drawn
+
+    o2w = np.eye(4); o2w[:3, 3] = [0.0, 0.0, -5.0]
+    out2 = draw_axes(frame, o2w, np.eye(4), focal=30.0)
+    assert out2.shape == frame.shape
+
+
+def test_head_selection_loss(rng):
+    from playableenvironments_tpu.train import losses as L
+    import jax.numpy as jnp
+
+    logits = jnp.asarray(rng.normal(size=(4, 6, 3)).astype(np.float32))
+    # Zero out the first two rows of sample 0 -> excluded by the mask.
+    logits = logits.at[0, :2, 0].set(0.0)
+    gt = jnp.asarray([0, 1, 2, 0])
+    loss = L.head_selection_loss(logits, gt)
+    assert np.isfinite(float(loss)) and float(loss) > 0
+
+    # Perfectly confident correct logits -> ~0 loss.
+    strong = jnp.full((2, 4, 3), -20.0)
+    strong = strong.at[..., 1].set(20.0)
+    loss0 = L.head_selection_loss(strong, jnp.asarray([1, 1]))
+    assert float(loss0) < 1e-3
+
+
+def test_video_subsample_split_resize(tmp_path, rng):
+    from playableenvironments_tpu.data.synthetic import make_synthetic_dataset
+    from playableenvironments_tpu.data.video import Video
+
+    root = make_synthetic_dataset(
+        str(tmp_path), videos=1, frames=10, height=16, width=24
+    )
+    video = Video().load(os.path.join(root, "train", "00000", "00000"))
+    parts = video.subsample_split_resize(
+        frame_skip=1, output_sequence_length=2, target_size=(8, 12)
+    )
+    # 10 frames, skip 1 -> 5 kept -> two 2-frame videos (+1 short dropped).
+    assert len(parts) == 2
+    assert parts[0].frames_count == 2
+    assert parts[0].get_frame(0).shape == (8, 12, 3)
+    assert parts[0].focals[0] == video.focals[0]

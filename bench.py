@@ -64,7 +64,8 @@ def build_scene():
     # The published tennis scene: background + backplate (static, 4 samples)
     # and two players (dynamic, bent, 32 samples).
     models = (
-        obj("background", ((-30.0, 30.0), (-40.0, 20.585), (-0.5, 0.0)), 4, "zeroed"),
+        obj("background", ((-30.0, 30.0), (-40.0, 20.585), (-0.5, 0.0)), 4, "zeroed",
+            ray_compaction=0.375),
         obj("backplate", ((-30.0, 30.0), (0.0, 0.5), (0.0, 30.0)), 4, "zeroed"),
         obj("player_1", ((-0.75, 0.75), (-0.5, 0.5), (0.0, 2.15)), 32,
             "positional", ray_compaction=0.125),

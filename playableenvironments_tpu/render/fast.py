@@ -64,103 +64,6 @@ def _bender_displacements(cfg, bender_params, positions, deformation, step):
     return jnp.clip(displacements, min_disp, max_disp)
 
 
-def _compact_eval(
-    cfg,
-    field_params,
-    field_stats,
-    positions: jnp.ndarray,
-    hit: jnp.ndarray,
-    obj_style: jnp.ndarray,
-    obj_deformation: jnp.ndarray,
-    step,
-    block_points: int,
-    interpret: bool,
-):
-    """Evaluate the object field on a STATIC-size compacted ray subset.
-
-    Most rays miss a small object's AABB entirely (players intersect <1% of
-    frame rays) yet dense masked evaluation pays the full MLP for them. This
-    gathers rays with `hit` (argsort puts hits first — static shapes, no
-    boolean indexing), runs the bender + fused NeRF on `budget` rays only,
-    and scatters results back; non-evaluated rays get empty_space_alpha.
-    The TPU-native equivalent of the reference's boolean bbox filtering
-    (ray_bending_style_nerf_model.py:180-198) at a fixed compute budget.
-
-    :param positions: (..., rays, S, 3) object-frame sample positions.
-    :param hit: (..., rays) bool, ray intersects the AABB.
-    :return: ((..., rays, S, F) features, (..., rays, S) raw alphas).
-    """
-    box = jnp.asarray(cfg.bounding_box, positions.dtype)
-    lead = positions.shape[:-3]
-    rays = positions.shape[-3]
-    samples = positions.shape[-2]
-    budget = max(int(rays * cfg.ray_compaction), 1)
-
-    flat_positions = positions.reshape((-1, rays, samples, 3))
-    flat_hit = hit.reshape((-1, rays))
-    l = flat_positions.shape[0]
-
-    # Hits first (stable argsort of the miss flag), truncate to the budget.
-    order = jnp.argsort(~flat_hit, axis=-1)[:, :budget]  # (L, budget)
-    batch_idx = jnp.arange(l)[:, None]
-    sel_positions = flat_positions[batch_idx, order]  # (L, budget, S, 3)
-
-    style_b = jnp.broadcast_to(
-        obj_style.reshape((-1, obj_style.shape[-1]))[:, None],
-        (l, budget, obj_style.shape[-1]),
-    )
-
-    if cfg.bender.kind == "positional":
-        deformation_b = jnp.broadcast_to(
-            obj_deformation.reshape((-1, obj_deformation.shape[-1]))[
-                :, None, None
-            ],
-            (l, budget, 1, obj_deformation.shape[-1]),
-        )
-        displacements = _bender_displacements(
-            cfg, field_params["ray_bender"], sel_positions, deformation_b, step
-        )
-        mask = bbox_lib.aabb_contains(box, sel_positions)
-        eval_positions = sel_positions + jnp.where(
-            mask[..., None], displacements, 0.0
-        )
-        sel_disp = displacements
-    else:
-        eval_positions = sel_positions
-        sel_disp = jnp.zeros_like(sel_positions)
-
-    feats, alpha = fused_nerf.fused_object_field_eval(
-        cfg.nerf,
-        cfg.bounding_box,
-        field_params["nerf"],
-        field_stats["nerf"],
-        eval_positions,
-        style_b[..., None, :],
-        cfg.empty_space_alpha,
-        block_points=block_points,
-        interpret=interpret,
-    )
-    mask = bbox_lib.aabb_contains(box, sel_positions)
-    feats = jnp.where(mask[..., None], feats, 0.0)
-    alpha = jnp.where(mask, alpha, cfg.empty_space_alpha)
-
-    # Scatter back to the full ray set.
-    full_feats = jnp.zeros(
-        (l, rays, samples, feats.shape[-1]), feats.dtype
-    ).at[batch_idx, order].set(feats)
-    full_alpha = jnp.full(
-        (l, rays, samples), cfg.empty_space_alpha, alpha.dtype
-    ).at[batch_idx, order].set(alpha)
-    full_disp = jnp.zeros((l, rays, samples, 3), positions.dtype).at[
-        batch_idx, order
-    ].set(sel_disp)
-    return (
-        full_feats.reshape(lead + (rays, samples, feats.shape[-1])),
-        full_alpha.reshape(lead + (rays, samples)),
-        full_disp.reshape(lead + (rays, samples, 3)),
-    )
-
-
 def render_rays_fast(
     scene: SceneConfig,
     variables: Dict,
@@ -176,171 +79,364 @@ def render_rays_fast(
     interpret: bool = False,
 ) -> Dict:
     """Eval-mode composed render (SceneComposer.__call__ signature, minus the
-    training-only knobs). `variables` is the EnvironmentModel variables dict;
-    composer parameters are read from variables[...]["composer"].
+    training-only knobs), computed ENTIRELY in per-object compacted ray
+    domains.
 
-    :return: {"coarse": {"global": integrate dict}} (per-object integration
-        available under object_i keys).
+    For each object, rays hitting its AABB are argsort-gathered into a
+    static-size budget (ObjectModelConfig.ray_compaction; players intersect
+    <1% of frame rays). The field MLP, the alpha/transmittance math, AND the
+    feature integration all run on the compacted rays; only the per-ray
+    integrals (features/opacity/depth — (rays, F) not (rays, S, F)) scatter
+    back. Cross-object transmittance uses full-ray t geometry (cheap — no
+    MLP) plus tiny inverse-permutation gathers into other objects' compacted
+    alpha masses. Semantics match the reference's sort-merge composition
+    (object_composer.py:399-447 + 724-784) with stable-sort tie order;
+    parity-tested against the flax SceneComposer.
+
+    `variables` is the EnvironmentModel variables dict; composer parameters
+    are read from variables["params"]["composer"].
+
+    :return: {"coarse": {"global": integrate-style dict,
+              "object_i": per-object integrate dicts}} ("weights" omitted —
+              per-sample weights never materialize densely here).
     """
     object_ids = ObjectIds(scene)
     params = variables["params"]["composer"]
     batch_stats = variables.get("batch_stats", {}).get("composer", {})
 
-    per_object = []
-    for object_idx in range(object_ids.objects_count):
+    lead = ray_directions.shape[:-2]
+    rays = ray_directions.shape[-2]
+    l = 1
+    for d in lead:
+        l *= d
+
+    dirs = ray_directions.reshape((l, rays, 3))
+    dir_norm = jnp.linalg.norm(dirs, axis=-1)  # (L, R)
+    origins_f = jnp.broadcast_to(ray_origins, lead + (3,)).reshape((l, 3))
+    normals_f = jnp.broadcast_to(focal_normals, lead + (3,)).reshape((l, 3))
+    objects = object_ids.objects_count
+    w2o_f = jnp.broadcast_to(
+        w2o_matrices, lead + (objects, 4, 4)
+    ).reshape((l, objects, 4, 4))
+    style_f = jnp.broadcast_to(
+        style, lead + style.shape[-2:]
+    ).reshape((l,) + style.shape[-2:])
+    deform_f = jnp.broadcast_to(
+        deformation, lead + deformation.shape[-2:]
+    ).reshape((l,) + deformation.shape[-2:])
+    in_scene_f = jnp.broadcast_to(object_in_scene, lead + (objects,)).reshape(
+        (l, objects)
+    )
+
+    batch_idx = jnp.arange(l)[:, None]
+    big = jnp.asarray(3.0e38, dirs.dtype)
+
+    # ---- Phase 1: per-object geometry, compaction, field evaluation ------
+    per = []
+    for object_idx in range(objects):
         model_idx = object_ids.model_idx_by_object_idx(object_idx)
         cfg = scene.object_models[model_idx]
         field_params = params[f"object_model_{model_idx}"]
         field_stats = batch_stats.get(f"object_model_{model_idx}", {})
+        box = jnp.asarray(cfg.bounding_box, dirs.dtype)
+        samples = cfg.positions_count_coarse
 
-        o_origins, o_directions, _ = rays_lib.transform_rays(
-            ray_origins, ray_directions, focal_normals,
-            w2o_matrices[..., object_idx, :, :],
+        o_origins, o_dirs, _ = rays_lib.transform_rays(
+            origins_f, dirs, normals_f, w2o_f[:, object_idx]
         )
-        box = jnp.asarray(cfg.bounding_box, ray_origins.dtype)
         z_near, z_far = bbox_lib.ray_aabb_bounds(
-            o_origins, o_directions, box, object_in_scene[..., object_idx]
+            o_origins, o_dirs, box, in_scene_f[:, object_idx]
         )
         hit = z_far > z_near
         z_near = jnp.clip(z_near, cfg.z_near_min, cfg.z_far_max)
         z_far = jnp.clip(z_far, cfg.z_near_min, cfg.z_far_max)
-        positions, t = rays_lib.stratified_ray_positions(
-            o_origins, o_directions, z_near, z_far,
-            cfg.positions_count_coarse, perturb=False,
+        # Deterministic linspace samples (eval path: perturb=False),
+        # matching rays_lib.stratified_ray_positions.
+        fractions = jnp.linspace(0.0, 1.0, samples, dtype=dirs.dtype)
+        t_full = (
+            z_near[..., None] + (z_far - z_near)[..., None] * fractions
+        )  # (L, R, S)
+
+        compact = cfg.ray_compaction < 1.0
+        budget = max(int(rays * cfg.ray_compaction), 1) if compact else rays
+        if compact:
+            order = jnp.argsort(~hit, axis=-1)[:, :budget]  # (L, B)
+        else:
+            order = jnp.broadcast_to(jnp.arange(rays), (l, rays))
+        inv = jnp.full((l, rays), budget, jnp.int32)
+        inv = inv.at[batch_idx, order].set(
+            jnp.broadcast_to(jnp.arange(budget), (l, budget))
         )
 
-        obj_style = style[..., object_idx, :]
-        obj_deformation = deformation[..., object_idx, :]
+        t_c = t_full[batch_idx, order] if compact else t_full
+        o_origins_c = (
+            jnp.broadcast_to(o_origins[:, None], (l, rays, 3))[batch_idx, order]
+            if compact
+            else jnp.broadcast_to(o_origins[:, None], (l, rays, 3))
+        )
+        o_dirs_c = o_dirs[batch_idx, order] if compact else o_dirs
+        positions_c = (
+            o_origins_c[..., None, :] + t_c[..., None] * o_dirs_c[..., None, :]
+        )  # (L, B, S, 3)
 
-        if cfg.ray_compaction < 1.0 and cfg.nerf.kind != "skybox":
-            features, raw_alpha, displacements = _compact_eval(
-                cfg, field_params, field_stats, positions, hit,
-                obj_style, obj_deformation, step, block_points, interpret,
-            )
-            raw_alpha = jnp.where(
-                object_in_scene[..., object_idx][..., None, None],
-                raw_alpha, cfg.empty_space_alpha,
-            )
-            if scene.apply_activation:
-                features = jax.nn.sigmoid(features)
-            per_object.append(
-                {
-                    "features": features,
-                    "raw_alphas": raw_alpha,
-                    "t": t,
-                    "positions": positions,
-                    "displacements": displacements,
-                    "divergences": jnp.zeros_like(t),
-                }
-            )
-            continue
+        obj_style = style_f[:, object_idx]  # (L, Fs)
+        obj_deform = deform_f[:, object_idx]
 
         if cfg.bender.kind == "positional":
-            displacements = _bender_displacements(
-                cfg, field_params["ray_bender"], positions,
-                obj_deformation[..., None, None, :], step,
+            deform_b = jnp.broadcast_to(
+                obj_deform[:, None, None],
+                (l, budget, 1, obj_deform.shape[-1]),
             )
-            mask = bbox_lib.aabb_contains(box, positions)
-            displacements = jnp.where(mask[..., None], displacements, 0.0)
-            eval_positions = positions + displacements
+            disp_c = _bender_displacements(
+                cfg, field_params["ray_bender"], positions_c, deform_b, step
+            )
+            in_box = bbox_lib.aabb_contains(box, positions_c)
+            disp_c = jnp.where(in_box[..., None], disp_c, 0.0)
+            eval_positions = positions_c + disp_c
         else:
-            displacements = jnp.zeros_like(positions)
-            eval_positions = positions
+            disp_c = jnp.zeros_like(positions_c)
+            eval_positions = positions_c
 
         if cfg.nerf.kind == "skybox":
-            # Per-ray skybox through the plain XLA path (cheap; constant
-            # along the ray) — reuse the flax module for exactness.
             from playableenvironments_tpu.models.nerf import SkyboxNerfMLP
 
             net = SkyboxNerfMLP(cfg.nerf, cfg.style_features, cfg.bounding_box)
             sky_vars = {"params": field_params["nerf"]}
             if field_stats.get("nerf"):
                 sky_vars["batch_stats"] = field_stats["nerf"]
-            ray_mask = jnp.any(bbox_lib.aabb_contains(box, positions), axis=-1)
+            in_box = bbox_lib.aabb_contains(box, positions_c)
+            ray_mask = jnp.any(in_box, axis=-1)
             feats_ray, alpha_ray = net.apply(
-                sky_vars, o_origins, o_directions, obj_style[..., None, :],
+                sky_vars, o_origins_c, o_dirs_c, obj_style[:, None],
                 ray_mask, True,
             )
-            positions_count = positions.shape[-2]
-            features = jnp.repeat(feats_ray[..., None, :], positions_count, axis=-2)
-            raw_alpha = jnp.repeat(alpha_ray[..., None], positions_count, axis=-1)
-            mask = bbox_lib.aabb_contains(box, positions)
-            features = jnp.where(mask[..., None], features, 0.0)
-            raw_alpha = jnp.where(mask, raw_alpha, cfg.empty_space_alpha)
+            feats_c = jnp.repeat(feats_ray[..., None, :], samples, axis=-2)
+            alpha_c = jnp.repeat(alpha_ray[..., None], samples, axis=-1)
         else:
-            features, raw_alpha = fused_nerf.fused_object_field_eval(
+            style_points = jnp.broadcast_to(
+                obj_style[:, None, None],
+                (l, budget, 1, obj_style.shape[-1]),
+            )
+            feats_c, alpha_c = fused_nerf.fused_object_field_eval(
                 cfg.nerf,
                 cfg.bounding_box,
                 field_params["nerf"],
                 field_stats["nerf"],
                 eval_positions,
-                obj_style[..., None, None, :],
+                style_points,
                 cfg.empty_space_alpha,
                 block_points=block_points,
                 interpret=interpret,
             )
-            # The wrapper masks on the ORIGINAL (unbent) positions too
-            # (ray_bending_style_nerf_model.py:180-202).
-            mask = bbox_lib.aabb_contains(box, positions)
-            features = jnp.where(mask[..., None], features, 0.0)
-            raw_alpha = jnp.where(mask, raw_alpha, cfg.empty_space_alpha)
+            in_box = bbox_lib.aabb_contains(box, positions_c)
 
-        raw_alpha = jnp.where(
-            object_in_scene[..., object_idx][..., None, None],
-            raw_alpha, cfg.empty_space_alpha,
+        # Empty-space masking on the ORIGINAL (unbent) positions
+        # (ray_bending_style_nerf_model.py:180-202) + absent objects.
+        feats_c = jnp.where(in_box[..., None], feats_c, 0.0)
+        alpha_c = jnp.where(in_box, alpha_c, cfg.empty_space_alpha)
+        alpha_c = jnp.where(
+            in_scene_f[:, object_idx][:, None, None],
+            alpha_c, cfg.empty_space_alpha,
         )
         if scene.apply_activation:
-            features = jax.nn.sigmoid(features)
+            feats_c = jax.nn.sigmoid(feats_c)
 
-        per_object.append(
-            {
-                "features": features,
-                "raw_alphas": raw_alpha,
-                "t": t,
-                "positions": positions,
-                "displacements": displacements,
-                "divergences": jnp.zeros_like(t),
-            }
+        per.append({
+            "cfg": cfg, "order": order, "inv": inv, "budget": budget,
+            "compact": compact, "t_full": t_full, "t_c": t_c,
+            "raw_alpha_c": alpha_c, "feats_c": feats_c, "disp_c": disp_c,
+            "o_origins_c": o_origins_c,
+            "dirn_c": dir_norm[batch_idx, order] if compact else dir_norm,
+        })
+
+    # ---- Overlap fix (Minecraft): full-domain static objects only --------
+    if scene.fix_object_overlaps:
+        static_count = object_ids.static_objects_count
+        for s in range(static_count):
+            if per[s]["compact"]:
+                raise ValueError(
+                    "fix_object_overlaps requires ray_compaction=1.0 on "
+                    "static objects (their samples are masked by dynamic "
+                    "objects' intervals over the full ray set)"
+                )
+            mask = jnp.zeros_like(per[s]["t_c"], dtype=bool)
+            for d in range(static_count, objects):
+                mask = jnp.logical_or(
+                    mask,
+                    compositing.overlap_fix_mask(
+                        per[s]["t_c"], per[d]["t_full"]
+                    ),
+                )
+            entry = per[s]
+            (entry["raw_alpha_c"], new_t, _, entry["disp_c"], _) = (
+                compositing.apply_overlap_fix(
+                    entry["raw_alpha_c"], entry["t_c"],
+                    jnp.zeros_like(entry["disp_c"]), entry["disp_c"],
+                    jnp.zeros_like(entry["t_c"]),
+                    entry["o_origins_c"][..., None, :], mask,
+                )
+            )
+            entry["t_c"] = new_t
+            entry["t_full"] = new_t  # full domain == compacted domain here
+
+    # ---- Phase 2: successor distances + alphas per object ----------------
+    # Total order = lexicographic (t, concat index): a stable sort of the
+    # concatenation. Cross-object candidates come from full-ray t geometry
+    # gathered at this object's compacted rays (masked min — no searchsorted,
+    # whose binary-search lowering serializes on TPU).
+    t_b_at_cache = {}
+    for a, entry in enumerate(per):
+        t_a = entry["t_c"]  # (L, B, S_a)
+        own_next = jnp.concatenate(
+            [t_a[..., 1:], jnp.full_like(t_a[..., :1], big)], axis=-1
+        )
+        candidates = [own_next]
+        for b, other in enumerate(per):
+            if b == a:
+                continue
+            if entry["compact"]:
+                t_b_at_a = other["t_full"][batch_idx, entry["order"]]
+            else:
+                t_b_at_a = other["t_full"]
+            t_b_at_cache[(a, b)] = t_b_at_a  # (L, B_a, S_b)
+            ti = t_a[..., :, None]
+            tj = t_b_at_a[..., None, :]
+            after = (tj > ti) | ((tj == ti) & (b > a))
+            candidates.append(jnp.min(jnp.where(after, tj, big), axis=-1))
+        next_t = jnp.min(jnp.stack(candidates, axis=0), axis=0)
+        deltas = jnp.where(next_t >= big, 1e10, next_t - t_a)
+        x = jax.nn.relu(entry["raw_alpha_c"]) * (
+            deltas * entry["dirn_c"][..., None]
+        )
+        entry["alphas_c"] = 1.0 - jnp.exp(-x)
+        # log(1 - alpha + 1e-10) in log space (exact-0 cancellation under
+        # XLA fusion otherwise produces -inf -> NaN).
+        entry["log1m_c"] = jnp.logaddexp(-x, jnp.log(1e-10))
+
+    # ---- Phase 3: transmittance, weights, scattered integrals ------------
+    features_count = per[0]["feats_c"].shape[-1]
+    total_samples = sum(e["t_c"].shape[-1] for e in per)
+    global_features = jnp.zeros((l, rays, features_count), dirs.dtype)
+    global_opacity = jnp.zeros((l, rays), dirs.dtype)
+    global_depth = jnp.zeros((l, rays), dirs.dtype)
+    global_disp_mag = jnp.zeros((l, rays), dirs.dtype)
+
+    def exclusive_cumsum(values):
+        cs = jnp.cumsum(values, axis=-1)
+        return jnp.concatenate(
+            [jnp.zeros_like(cs[..., :1]), cs[..., :-1]], axis=-1
         )
 
     results = {"coarse": {}}
-    for object_idx, obj in enumerate(per_object):
-        results["coarse"][f"object_{object_idx}"] = compositing.integrate(
-            obj["features"], obj["raw_alphas"], ray_directions, obj["t"],
-            obj["displacements"], obj["divergences"], perturb=False,
-        )
-
-    all_t = [o["t"] for o in per_object]
-    all_alphas = [o["raw_alphas"] for o in per_object]
-    all_positions = [o["positions"] for o in per_object]
-    all_displacements = [o["displacements"] for o in per_object]
-    all_divergences = [o["divergences"] for o in per_object]
-    if scene.fix_object_overlaps:
-        static_count = object_ids.static_objects_count
-        origins_b = ray_origins[..., None, :]
-        for s in range(static_count):
-            mask = jnp.zeros_like(all_t[s], dtype=bool)
-            for d in range(static_count, object_ids.objects_count):
-                mask = jnp.logical_or(
-                    mask, compositing.overlap_fix_mask(all_t[s], all_t[d])
+    for a, entry in enumerate(per):
+        t_a = entry["t_c"]
+        transmittance_log = exclusive_cumsum(entry["log1m_c"])
+        for b, other in enumerate(per):
+            if b == a:
+                continue
+            t_b_at_a = t_b_at_cache[(a, b)]
+            # Other object's per-sample log mass at THIS object's rays:
+            # rays outside b's budget carry no alpha mass there (zero).
+            if other["compact"]:
+                idx_b = other["inv"][batch_idx, entry["order"]]  # (L, B_a)
+                valid = idx_b < other["budget"]
+                gathered = jnp.take_along_axis(
+                    other["log1m_c"],
+                    jnp.clip(idx_b, 0, other["budget"] - 1)[..., None],
+                    axis=1,
                 )
-            (all_alphas[s], all_t[s], all_positions[s], all_displacements[s],
-             all_divergences[s]) = compositing.apply_overlap_fix(
-                all_alphas[s], all_t[s], all_positions[s], all_displacements[s],
-                all_divergences[s], origins_b, mask,
+                log1m_b_at_a = jnp.where(valid[..., None], gathered, 0.0)
+            elif entry["compact"]:
+                log1m_b_at_a = other["log1m_c"][batch_idx, entry["order"]]
+            else:
+                log1m_b_at_a = other["log1m_c"]
+            ti = t_a[..., :, None]
+            tj = t_b_at_a[..., None, :]
+            before = (tj < ti) | ((tj == ti) & (b < a))
+            transmittance_log = transmittance_log + jnp.sum(
+                jnp.where(before, log1m_b_at_a[..., None, :], 0.0), axis=-1
             )
+        weights = entry["alphas_c"] * jnp.exp(transmittance_log)  # (L,B,S)
 
-    # Sort-free cross-object integration: kills the argsort + payload gathers
-    # that dominate the render wall-clock (see compose_integrate_sortfree).
-    results["coarse"]["global"] = compositing.compose_integrate_sortfree(
-        [o["features"] for o in per_object],
-        all_alphas,
-        all_t,
-        ray_directions,
-        all_displacements,
-        all_divergences,
-        perturb=False,
+        disp_norm = jnp.linalg.norm(entry["disp_c"], axis=-1)
+        contrib_features = jnp.sum(
+            weights[..., None] * entry["feats_c"], axis=-2
+        )
+        contrib_opacity = jnp.sum(weights, axis=-1)
+        contrib_depth = jnp.sum(weights * t_a, axis=-1)
+        contrib_disp = jnp.sum(
+            jax.lax.stop_gradient(weights) * disp_norm, axis=-1
+        )
+        order = entry["order"]
+        global_features = global_features.at[batch_idx, order].add(
+            contrib_features
+        )
+        global_opacity = global_opacity.at[batch_idx, order].add(
+            contrib_opacity
+        )
+        global_depth = global_depth.at[batch_idx, order].add(contrib_depth)
+        global_disp_mag = global_disp_mag.at[batch_idx, order].add(contrib_disp)
+
+        # Per-object integration (own-sample spacing, own transmittance —
+        # compositing.integrate semantics), scattered to the full ray set.
+        own_dist = jnp.concatenate(
+            [
+                t_a[..., 1:] - t_a[..., :-1],
+                jnp.full_like(t_a[..., :1], 1e10),
+            ],
+            axis=-1,
+        ) * entry["dirn_c"][..., None]
+        own_alphas = 1.0 - jnp.exp(
+            -jax.nn.relu(entry["raw_alpha_c"]) * own_dist
+        )
+        own_weights = compositing.compositing_weights(own_alphas)
+        obj_features = jnp.sum(
+            own_weights[..., None] * entry["feats_c"], axis=-2
+        )
+        obj_opacity = jnp.sum(own_weights, axis=-1)
+        obj_depth = jnp.sum(own_weights * t_a, axis=-1)
+        obj_disp = jnp.mean(
+            jax.lax.stop_gradient(own_weights) * disp_norm, axis=-1
+        )
+        samples_a = t_a.shape[-1]
+
+        def scatter(values, fill=0.0):
+            full = jnp.full((l, rays) + values.shape[2:], fill, values.dtype)
+            return full.at[batch_idx, order].set(values)
+
+        obj_disparity = 1.0 / jnp.clip(
+            obj_depth / jnp.clip(obj_opacity, 1e-10, None), min=1e-10
+        )
+        results["coarse"][f"object_{a}"] = {
+            "integrated_features": scatter(obj_features).reshape(
+                lead + (rays, features_count)
+            ),
+            "opacity": scatter(obj_opacity).reshape(lead + (rays,)),
+            "depth": scatter(obj_depth).reshape(lead + (rays,)),
+            "disparity": scatter(obj_disparity, fill=1e10).reshape(
+                lead + (rays,)
+            ),
+            "integrated_displacements_magnitude": scatter(obj_disp).reshape(
+                lead + (rays,)
+            ),
+            "integrated_divergence": jnp.zeros(lead + (rays,), dirs.dtype),
+        }
+
+    global_disparity = 1.0 / jnp.clip(
+        global_depth / jnp.clip(global_opacity, 1e-10, None), min=1e-10
     )
+    results["coarse"]["global"] = {
+        "integrated_features": global_features.reshape(
+            lead + (rays, features_count)
+        ),
+        "opacity": global_opacity.reshape(lead + (rays,)),
+        "depth": global_depth.reshape(lead + (rays,)),
+        "disparity": global_disparity.reshape(lead + (rays,)),
+        "integrated_displacements_magnitude": (
+            global_disp_mag / total_samples
+        ).reshape(lead + (rays,)),
+        "integrated_divergence": jnp.zeros(lead + (rays,), dirs.dtype),
+    }
     return results
 
 

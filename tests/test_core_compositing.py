@@ -199,6 +199,7 @@ def test_sortfree_matches_sorted_on_exact_ties(rng):
     t1 = t0.copy()
     t2 = np.sort(rng.uniform(1.0, 8.0, size=(R, 3)).astype(np.float32), axis=-1)
     t2[:, 1] = t0[:, 2]  # partial cross-object tie too
+    t2 = np.sort(t2, axis=-1)  # per-object sortedness is a precondition
     all_t = [jnp.asarray(t0), jnp.asarray(t1), jnp.asarray(t2)]
     all_a, all_f, all_d, all_v = [], [], [], []
     for t in all_t:

@@ -160,7 +160,20 @@ def render_rays_fast(
         compact = cfg.ray_compaction < 1.0
         budget = max(int(rays * cfg.ray_compaction), 1) if compact else rays
         if compact:
-            order = jnp.argsort(~hit, axis=-1)[:, :budget]  # (L, B)
+            # Stable hits-first partition via prefix sums (an argsort of the
+            # miss flag, but O(n) scatter instead of a TPU bitonic sort):
+            # hit rays go to slot cumsum(hit)-1, misses fill the tail.
+            hit_i = hit.astype(jnp.int32)
+            hits_total = jnp.sum(hit_i, axis=-1, keepdims=True)
+            slot = jnp.where(
+                hit,
+                jnp.cumsum(hit_i, axis=-1) - 1,
+                hits_total + jnp.cumsum(1 - hit_i, axis=-1) - 1,
+            )  # (L, R) destination of each ray in the partition
+            order_full = jnp.zeros((l, rays), jnp.int32).at[
+                batch_idx, slot
+            ].set(jnp.broadcast_to(jnp.arange(rays), (l, rays)))
+            order = order_full[:, :budget]  # (L, B)
         else:
             order = jnp.broadcast_to(jnp.arange(rays), (l, rays))
         inv = jnp.full((l, rays), budget, jnp.int32)

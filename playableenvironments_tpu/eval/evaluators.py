@@ -45,6 +45,26 @@ def box_centers_from_annotations(video, camera_idx: int, frame_idx: int) -> np.n
     return centers
 
 
+def _make_vgg_sim_fn(vgg_variables):
+    """Jitted per-frame VGG cosine similarity over (N, H, W, 3) batches."""
+    from playableenvironments_tpu.eval.perceptual import (
+        VGG19_CUTS,
+        VGG19_PLAN,
+        VGGFeatures,
+        vgg_cosine_similarity,
+    )
+
+    net = VGGFeatures(VGG19_PLAN, VGG19_CUTS[:3])
+
+    @jax.jit
+    def fn(a, b):
+        fa = net.apply(vgg_variables, a)
+        fb = net.apply(vgg_variables, b)
+        return vgg_cosine_similarity(fa, fb)
+
+    return fn
+
+
 class ReconstructedDatasetEvaluator:
     """Paired evaluation of a generated dataset tree against its reference.
 
@@ -60,12 +80,23 @@ class ReconstructedDatasetEvaluator:
         detection_threshold: float = 0.1,
         lpips_fn: Optional[Callable] = None,
         compute_fid: bool = True,
+        vgg_variables=None,
     ):
+        """:param vgg_variables: VGGFeatures variables; enables the per-frame
+        VGG cosine-similarity metric (reconstructed_dataset_evaluator.py:
+        VGGCosineSimilarity). Defaults to randomly-initialized features
+        (self-consistent; supply torch-converted weights for published-number
+        comparability)."""
         self.window_size = window_size
         self.detector = detector
         self.detection_threshold = detection_threshold
         self.lpips_fn = lpips_fn
         self.compute_fid = compute_fid
+        if vgg_variables is None:
+            from playableenvironments_tpu.eval.perceptual import init_vgg19
+
+            vgg_variables = init_vgg19(jax.random.PRNGKey(0), cuts=3)
+        self._vgg_sim_fn = _make_vgg_sim_fn(vgg_variables)
 
     def compute_metrics(
         self, reference_root: str, generated_root: str
@@ -74,6 +105,7 @@ class ReconstructedDatasetEvaluator:
         generated = MulticameraVideoDataset(generated_root, observations_count=1)
 
         mses, psnrs, ssims, masked_mses, lpips_values = [], [], [], [], []
+        vgg_sims = []
         detection = metrics_lib.DetectionScore(self.detection_threshold)
         fid = IncrementalFID() if self.compute_fid else None
 
@@ -123,6 +155,15 @@ class ReconstructedDatasetEvaluator:
                         np.asarray(self.lpips_fn(ref_frames, gen_frames)).tolist()
                     )
 
+                if self._vgg_sim_fn is not None:
+                    vgg_sims.extend(
+                        np.asarray(
+                            self._vgg_sim_fn(
+                                jnp.asarray(ref_frames), jnp.asarray(gen_frames)
+                            )
+                        ).tolist()
+                    )
+
                 if self.detector is not None:
                     for i in range(frames_count):
                         ref_centers = box_centers_from_annotations(
@@ -144,6 +185,8 @@ class ReconstructedDatasetEvaluator:
             results["motion_masked_mse"] = float(np.mean(masked_mses))
         if lpips_values:
             results["lpips"] = float(np.mean(lpips_values))
+        if vgg_sims:
+            results["vgg_cosine_similarity"] = float(np.mean(vgg_sims))
         if self.detector is not None:
             results.update(detection.results())
         if fid is not None:
@@ -244,6 +287,55 @@ class ReconstructedPlayabilityDatasetEvaluator(ReconstructedDatasetEvaluator):
         except ValueError:
             pass
         return results
+
+
+class ReconstructedDatasetFVDEvaluator:
+    """Standalone FVD pass over a paired reference/generated dataset tree.
+
+    The reference isolates FVD in its own evaluator + entry script because
+    the metric lives in a TensorFlow 1.x session
+    (evaluation/reconstructed_dataset_fvd_evaluator.py:11-62,
+    evaluate_fvd_reconstructed_dataset.py); here the embedder is JAX so the
+    split is kept only for CLI parity."""
+
+    def __init__(self, clip_length: int = 16):
+        self.clip_length = clip_length
+
+    def compute_metrics(
+        self, reference_root: str, generated_root: str
+    ) -> Dict[str, float]:
+        reference = MulticameraVideoDataset(reference_root, observations_count=1)
+        generated = MulticameraVideoDataset(generated_root, observations_count=1)
+        if len(reference.videos) != len(generated.videos):
+            raise ValueError(
+                "reference and generated datasets should have the same videos: "
+                f"{len(reference.videos)} vs {len(generated.videos)}"
+            )
+
+        fvd = IncrementalFVD()
+        for ref_video, gen_video in zip(reference.videos, generated.videos):
+            for camera_idx in range(ref_video.cameras_count):
+                ref_cam = ref_video.videos[camera_idx]
+                gen_cam = gen_video.videos[camera_idx]
+                frames_count = min(ref_cam.frames_count, gen_cam.frames_count)
+                if frames_count < self.clip_length:
+                    continue
+                ref_frames = np.stack(
+                    [ref_cam.get_frame(i) for i in range(frames_count)]
+                )
+                gen_frames = np.stack(
+                    [gen_cam.get_frame(i) for i in range(frames_count)]
+                )
+                for start in range(
+                    0, frames_count - self.clip_length + 1, self.clip_length
+                ):
+                    fvd.update_reference(
+                        ref_frames[None, start : start + self.clip_length]
+                    )
+                    fvd.update_generated(
+                        gen_frames[None, start : start + self.clip_length]
+                    )
+        return {"fvd": fvd.compute()}
 
 
 def save_results_yaml(results: Dict[str, float], path: str):

@@ -82,3 +82,29 @@ def draw_axes(
         if cam[0, 2] < 0:  # origin in front of the camera
             cv2.line(img, origin, tuple(int(v) for v in end), color, 1)
     return img
+
+
+def save_feature_maps(features: np.ndarray, output_dir: str):
+    """Save each feature channel as a jet-colormapped PNG
+    (utils/drawing/autoencoder_features_drawer.py:10-44's per-channel dump,
+    used to inspect the VAE's latent feature maps).
+
+    :param features: (channels, height, width) array.
+    """
+    import os
+
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    os.makedirs(output_dir, exist_ok=True)
+    features = np.asarray(features, np.float32)
+    lo = features.min(axis=(1, 2), keepdims=True)
+    hi = features.max(axis=(1, 2), keepdims=True)
+    normalized = (features - lo) / np.maximum(hi - lo, 1e-12)
+    for idx in range(normalized.shape[0]):
+        plt.imsave(
+            os.path.join(output_dir, f"{idx:05d}.png"),
+            plt.cm.jet(normalized[idx]),
+        )

@@ -98,6 +98,15 @@ def test_generate_and_evaluate_cli(workdir, phase2_checkpoint):
     results = yaml.safe_load(open(results_path))
     assert np.isfinite(results["mse"]) and np.isfinite(results["psnr"])
 
+    fvd_path = os.path.join(workdir["root"], "fvd.yaml")
+    run_cli(
+        "playableenvironments_tpu.cli.evaluate_fvd_reconstructed_dataset",
+        "--config", workdir["config"], "--generated", out,
+        "--output", fvd_path, "--clip_length", "4",
+    )
+    fvd_results = yaml.safe_load(open(fvd_path))
+    assert np.isfinite(fvd_results["fvd"])
+
 
 def test_camera_manipulation_cli(workdir, phase2_checkpoint):
     ckpt = phase2_checkpoint
@@ -109,6 +118,15 @@ def test_camera_manipulation_cli(workdir, phase2_checkpoint):
     )
     cam_dir = os.path.join(out, "00000", "00000")
     assert len([f for f in os.listdir(cam_dir) if f.endswith(".png")]) >= 4
+
+    results_path = os.path.join(workdir["root"], "camera_manip_eval.yaml")
+    run_cli(
+        "playableenvironments_tpu.cli.evaluate_reconstructed_camera_manipulation_dataset",
+        "--config", workdir["config"], "--generated", out,
+        "--output", results_path, "--window_size", "4", "--no_fid",
+    )
+    results = yaml.safe_load(open(results_path))
+    assert np.isfinite(results["mse"]) and np.isfinite(results["psnr"])
 
 
 @pytest.fixture(scope="module")

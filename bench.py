@@ -227,6 +227,98 @@ def bench_interactive_fps():
     )
 
 
+def bench_train_step():
+    """Phase-2 training step time at the published tennis scale (bs 8, 4 obs,
+    144 rays/img, 72 MLP samples/ray, full loss set, Adam). bfloat16 MLP
+    compute (f32 params/geometry/stats). vs_baseline converts the step's ray
+    throughput against the same ~2.3e4 rays/s A100 eager-reference estimate
+    as the render benchmark (module docstring)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from playableenvironments_tpu.data.batching import Batch
+    from playableenvironments_tpu.render.environment_model import EnvironmentModel
+    from playableenvironments_tpu.train.trainer_synthesis import (
+        LossWeights,
+        SynthesisTrainer,
+        SynthesisTrainingConfig,
+    )
+
+    bs, obs, cams, h, w = 8, 4, 1, 288, 512
+    scene = build_scene()
+    scene = dataclasses.replace(
+        scene,
+        apply_activation=True,
+        object_models=tuple(
+            dataclasses.replace(
+                om,
+                ray_compaction=1.0,
+                nerf=dataclasses.replace(
+                    om.nerf, output_features=3, compute_dtype="bfloat16"
+                ),
+                bender=dataclasses.replace(om.bender, compute_dtype="bfloat16"),
+            )
+            for om in scene.object_models
+        ),
+    )
+    model = EnvironmentModel(scene, focal_length_multiplier=1.0)
+    trainer = SynthesisTrainer(
+        model,
+        SynthesisTrainingConfig(
+            samples_per_image=144,
+            loss_weights=LossWeights(
+                reconstruction=1.0, opacity=0.01, attention=0.01, bounding_box=0.1
+            ),
+        ),
+    )
+
+    rng = np.random.default_rng(0)
+    frames = jnp.zeros((bs, obs), jnp.int32)
+    batch = Batch(
+        observations=jnp.asarray(rng.random((bs, obs, cams, h, w, 3), np.float32)),
+        camera_rotations=jnp.zeros((bs, obs, cams, 3)).at[..., 0].set(-0.65),
+        camera_translations=jnp.zeros((bs, obs, cams, 3))
+        .at[..., 1].set(18.0).at[..., 2].set(10.0),
+        focals=jnp.full((bs, obs, cams), 1180.0 * w / 1920.0),
+        bounding_boxes=jnp.broadcast_to(
+            jnp.asarray([[0.3, 0.4, 0.38, 0.55], [0.6, 0.5, 0.68, 0.66]]),
+            (bs, obs, cams, 2, 4),
+        ),
+        bounding_boxes_validity=jnp.ones((bs, obs, cams, 2), bool),
+        global_frame_indexes=frames,
+        video_frame_indexes=frames,
+        video_indexes=np.zeros((bs,), np.int32),
+    )
+    state = trainer.init_state(jax.random.PRNGKey(0), batch)
+    step = jax.jit(trainer.train_step, donate_argnums=0)
+    state, metrics = step(state, batch, jax.random.PRNGKey(1))
+    jax.block_until_ready(metrics["loss"])
+
+    iters = int(os.environ.get("BENCH_ITERS", 20))
+    start = time.perf_counter()
+    for i in range(iters):
+        state, metrics = step(state, batch, jax.random.PRNGKey(2 + i))
+    jax.block_until_ready(metrics["loss"])
+    dt = (time.perf_counter() - start) / iters
+
+    rays_per_step = bs * obs * cams * 144
+    print(
+        json.dumps(
+            {
+                "metric": "phase2_train_step_ms",
+                "value": round(dt * 1e3, 1),
+                "unit": "ms/step",
+                "vs_baseline": round(
+                    rays_per_step / dt / REFERENCE_A100_RAYS_PER_SEC, 2
+                ),
+            }
+        )
+    )
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -239,6 +331,8 @@ def main():
 
     if os.environ.get("BENCH_MODE") == "fps":
         return bench_interactive_fps()
+    if os.environ.get("BENCH_MODE") == "train":
+        return bench_train_step()
 
     scene = build_scene()
     composer = SceneComposer(scene)

@@ -45,6 +45,9 @@ class RayBenderConfig:
     position_encoder: PositionalEncoderConfig = field(
         default_factory=lambda: PositionalEncoderConfig(octaves=6, num_steps=60000)
     )
+    # MLP matmul dtype (params and geometry stay float32; bfloat16 runs the
+    # backbone on the MXU's fast path — model.compute_dtype in YAML).
+    compute_dtype: str = "float32"
 
 
 @dataclass(frozen=True)
@@ -60,6 +63,9 @@ class NerfMLPConfig:
     position_encoder: PositionalEncoderConfig = field(
         default_factory=PositionalEncoderConfig
     )
+    # MLP matmul dtype (params, AdaIN statistics, and outputs stay float32;
+    # bfloat16 runs the backbone on the MXU's fast path).
+    compute_dtype: str = "float32"
 
 
 @dataclass(frozen=True)
@@ -303,10 +309,13 @@ def _pe_from_dict(d: Dict[str, Any]) -> PositionalEncoderConfig:
     )
 
 
-def object_model_from_dict(block: Dict[str, Any]) -> ObjectModelConfig:
+def object_model_from_dict(
+    block: Dict[str, Any], default_compute_dtype: str = "float32"
+) -> ObjectModelConfig:
     name, d = _strip_name_key(block)
     nerf_d = d.get("nerf_model", {})
     bender_d = d.get("ray_bender_model", {})
+    object_dtype = d.get("compute_dtype", default_compute_dtype)
     nerf = NerfMLPConfig(
         kind=_NERF_KIND_BY_ARCH.get(nerf_d.get("architecture", ""), "adain"),
         layers_width=int(nerf_d.get("layers_width", 256)),
@@ -314,6 +323,7 @@ def object_model_from_dict(block: Dict[str, Any]) -> ObjectModelConfig:
         output_features=int(nerf_d.get("output_features", 192)),
         skip_layer_idx=int(nerf_d.get("skip_layer_idx", 4)),
         position_encoder=_pe_from_dict(nerf_d.get("position_encoder", {})),
+        compute_dtype=str(nerf_d.get("compute_dtype", object_dtype)),
     )
     bender = RayBenderConfig(
         kind=_BENDER_KIND_BY_ARCH.get(bender_d.get("architecture", ""), "zeroed"),
@@ -321,6 +331,7 @@ def object_model_from_dict(block: Dict[str, Any]) -> ObjectModelConfig:
         layers_count=int(bender_d.get("layers_count", 6)),
         skip_layer_idx=int(bender_d.get("skip_layer_idx", 3)),
         position_encoder=_pe_from_dict(bender_d.get("position_encoder", {})),
+        compute_dtype=str(bender_d.get("compute_dtype", object_dtype)),
     )
     return ObjectModelConfig(
         name=name,
@@ -411,8 +422,12 @@ def scene_from_dict(model_d: Dict[str, Any], playable_d: Optional[Dict[str, Any]
             animation_model_from_dict(b)
             for b in playable_d.get("object_animation_models", [])
         )
+    default_dtype = str(model_d.get("compute_dtype", "float32"))
     return SceneConfig(
-        object_models=tuple(object_model_from_dict(b) for b in model_d["object_models"]),
+        object_models=tuple(
+            object_model_from_dict(b, default_dtype)
+            for b in model_d["object_models"]
+        ),
         parameter_encoders=tuple(
             parameter_encoder_from_dict(b) for b in model_d["object_parameters_encoder"]
         ),

@@ -61,31 +61,43 @@ class AdaInNerfMLP(nn.Module):
         x = positions / aabb_size(box)
         pe_cfg = self.cfg.position_encoder
         encoded = positional_encoding(x, pe_cfg.octaves, pe_cfg.append_original)
+        # PE in f32 (octave frequencies need the mantissa); the MLP matmuls in
+        # compute_dtype (bfloat16 = full-rate MXU); AdaIN statistics and the
+        # returned features/alpha back in f32.
+        dtype = jnp.dtype(self.cfg.compute_dtype)
+        encoded = encoded.astype(dtype)
 
         h = encoded
         for layer_idx in range(self.cfg.backbone_layers_count):
             if layer_idx == self.cfg.skip_layer_idx:
                 h = jnp.concatenate([h, encoded], axis=-1)
-            h = nn.Dense(self.cfg.layers_width, name=f"backbone_{layer_idx}")(h)
+            h = nn.Dense(
+                self.cfg.layers_width, dtype=dtype, name=f"backbone_{layer_idx}"
+            )(h)
             h = nn.relu(h)
 
-        alpha = nn.Dense(1, name="alpha_head")(h)[..., 0]
+        alpha = nn.Dense(1, dtype=dtype, name="alpha_head")(h)[..., 0]
+        alpha = alpha.astype(jnp.float32)
 
         # Feature head: Dense -> AdaIN -> ReLU -> Dense -> AdaIN -> ReLU -> Dense
         # (adain_style_nerf_model.py:57-71).
         w = self.cfg.layers_width
-        f = nn.Dense(w, use_bias=False, name="feat_0")(h)
+        f = nn.Dense(w, use_bias=False, dtype=dtype, name="feat_0")(h)
         f = AffineTransformAdaIn(w, self.style_features, name="adain_0")(
-            f, style, mask, use_running_average
+            f.astype(jnp.float32), style, mask, use_running_average
         )
         f = nn.relu(f)
-        f = nn.Dense(w // 2, use_bias=False, name="feat_1")(f)
+        f = nn.Dense(w // 2, use_bias=False, dtype=dtype, name="feat_1")(
+            f.astype(dtype)
+        )
         f = AffineTransformAdaIn(w // 2, self.style_features, name="adain_1")(
-            f, style, mask, use_running_average
+            f.astype(jnp.float32), style, mask, use_running_average
         )
         f = nn.relu(f)
-        features = nn.Dense(self.cfg.output_features, name="feat_out")(f)
-        return features, alpha
+        features = nn.Dense(
+            self.cfg.output_features, dtype=dtype, name="feat_out"
+        )(f.astype(dtype))
+        return features.astype(jnp.float32), alpha
 
 
 class SkyboxNerfMLP(nn.Module):
@@ -120,26 +132,35 @@ class SkyboxNerfMLP(nn.Module):
         x = jnp.concatenate([norm_origins, unit_dirs], axis=-1)
         pe_cfg = self.cfg.position_encoder
         encoded = positional_encoding(x, pe_cfg.octaves, pe_cfg.append_original)
+        dtype = jnp.dtype(self.cfg.compute_dtype)
+        encoded = encoded.astype(dtype)
 
         h = encoded
         for layer_idx in range(self.cfg.backbone_layers_count):
             if layer_idx == self.cfg.skip_layer_idx:
                 h = jnp.concatenate([h, encoded], axis=-1)
-            h = nn.Dense(self.cfg.layers_width, name=f"backbone_{layer_idx}")(h)
+            h = nn.Dense(
+                self.cfg.layers_width, dtype=dtype, name=f"backbone_{layer_idx}"
+            )(h)
             h = nn.relu(h)
 
         w = self.cfg.layers_width
-        f = nn.Dense(w, use_bias=False, name="feat_0")(h)
+        f = nn.Dense(w, use_bias=False, dtype=dtype, name="feat_0")(h)
         f = AffineTransformAdaIn(w, self.style_features, name="adain_0")(
-            f, style, mask, use_running_average
+            f.astype(jnp.float32), style, mask, use_running_average
         )
         f = nn.relu(f)
-        f = nn.Dense(w // 2, use_bias=False, name="feat_1")(f)
+        f = nn.Dense(w // 2, use_bias=False, dtype=dtype, name="feat_1")(
+            f.astype(dtype)
+        )
         f = AffineTransformAdaIn(w // 2, self.style_features, name="adain_1")(
-            f, style, mask, use_running_average
+            f.astype(jnp.float32), style, mask, use_running_average
         )
         f = nn.relu(f)
-        features = nn.Dense(self.cfg.output_features, name="feat_out")(f)
+        features = nn.Dense(
+            self.cfg.output_features, dtype=dtype, name="feat_out"
+        )(f.astype(dtype))
+        features = features.astype(jnp.float32)
         alpha = jnp.full(features.shape[:-1], self.occupied_space_alpha, features.dtype)
         return features, alpha
 
@@ -179,22 +200,26 @@ class PositionalRayBender(nn.Module):
             deformation, positions.shape[:-1] + deformation.shape[-1:]
         )
         inputs = jnp.concatenate([encoded, deformation], axis=-1)
+        dtype = jnp.dtype(self.cfg.compute_dtype)
 
-        h = inputs
+        h = inputs.astype(dtype)
         for layer_idx in range(self.cfg.layers_count):
             if layer_idx == self.cfg.skip_layer_idx:
-                h = jnp.concatenate([h, inputs], axis=-1)
-            h = nn.Dense(self.cfg.layers_width, name=f"backbone_{layer_idx}")(h)
+                h = jnp.concatenate([h, inputs.astype(dtype)], axis=-1)
+            h = nn.Dense(
+                self.cfg.layers_width, dtype=dtype, name=f"backbone_{layer_idx}"
+            )(h)
             h = nn.relu(h)
 
         # Near-zero init so displacements start at ~0
-        # (positional_ray_bender_model.py:66-79's intent).
+        # (positional_ray_bender_model.py:66-79's intent). Output head and the
+        # geometric clamp in f32 — displacements feed world-space geometry.
         displacements = nn.Dense(
             3,
             use_bias=False,
             kernel_init=nn.initializers.uniform(scale=1e-5),
             name="output_head",
-        )(h)
+        )(h.astype(jnp.float32))
         displacements = displacements * size
 
         # Clamp so bent points stay inside the box

@@ -32,10 +32,28 @@ def _bilinear_sample(image: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray) -> jn
     return top * (1 - wy) + bottom * wy
 
 
+def _interp_weights(positions: jnp.ndarray, in_size: int) -> jnp.ndarray:
+    """Dense bilinear interpolation matrix: W[..., i, s] = tent(|p_i - s|),
+    positions clamped to [0, in_size-1] (same edge semantics as clipped
+    corner-gather bilinear sampling; rows sum to 1).
+
+    :param positions: (..., out) fractional source coordinates.
+    :return: (..., out, in_size) interpolation matrix.
+    """
+    p = jnp.clip(positions, 0.0, in_size - 1.0)[..., None]
+    s = jnp.arange(in_size, dtype=positions.dtype)
+    return jnp.maximum(0.0, 1.0 - jnp.abs(p - s))
+
+
 def crop_and_resize(
     images: jnp.ndarray, boxes: jnp.ndarray, out_size: Tuple[int, int]
 ) -> jnp.ndarray:
     """Crop each image to its box and resize to a fixed grid.
+
+    Bilinear sampling is separable, so each crop is two dense interpolation
+    matmuls (rows then columns) instead of 4 corner gathers — gathers with 2D
+    index arrays are the slowest op class on TPU (~35 ms/step at the published
+    training scale vs microseconds on the MXU).
 
     :param images: (N, H, W, C).
     :param boxes: (N, 4) pixel-space (left, top, right, bottom).
@@ -43,17 +61,19 @@ def crop_and_resize(
     :return: (N, out_h, out_w, C) bilinear crops.
     """
     out_h, out_w = out_size
+    h, w = images.shape[1], images.shape[2]
+    left, top, right, bottom = (boxes[:, i] for i in range(4))
 
-    def crop_one(image, box):
-        left, top, right, bottom = box[0], box[1], box[2], box[3]
-        # Sample at bin centers across the box extent.
-        ys = top + (jnp.arange(out_h) + 0.5) / out_h * (bottom - top) - 0.5
-        xs = left + (jnp.arange(out_w) + 0.5) / out_w * (right - left) - 0.5
-        grid_y = jnp.broadcast_to(ys[:, None], (out_h, out_w))
-        grid_x = jnp.broadcast_to(xs[None, :], (out_h, out_w))
-        return _bilinear_sample(image, grid_y, grid_x)
+    # Sample at bin centers across the box extent.
+    iy = (jnp.arange(out_h, dtype=boxes.dtype) + 0.5) / out_h
+    ix = (jnp.arange(out_w, dtype=boxes.dtype) + 0.5) / out_w
+    ys = top[:, None] + iy * (bottom - top)[:, None] - 0.5  # (N, out_h)
+    xs = left[:, None] + ix * (right - left)[:, None] - 0.5  # (N, out_w)
 
-    return jax.vmap(crop_one)(images, boxes)
+    wy = _interp_weights(ys, h)  # (N, out_h, H)
+    wx = _interp_weights(xs, w)  # (N, out_w, W)
+    rows = jnp.einsum("nhH,nHWc->nhWc", wy, images)
+    return jnp.einsum("nwW,nhWc->nhwc", wx, rows)
 
 
 def expand_boxes(

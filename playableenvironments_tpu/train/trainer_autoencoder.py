@@ -41,7 +41,9 @@ class AutoencoderTrainer:
         self.cfg = cfg
 
     def init_state(self, key: jax.Array, example_images: jnp.ndarray) -> TrainState:
-        variables = self.model.init(
+        # jit the init (eager per-op dispatch is seconds each over a
+        # tunneled TPU; see __graft_entry__.entry).
+        variables = jax.jit(self.model.init)(
             {"params": key}, example_images, sample_key=key
         )
         tx = make_optimizer(

@@ -14,6 +14,8 @@ from __future__ import annotations
 import dataclasses
 from typing import Dict, Iterator, Optional, Tuple
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -46,7 +48,9 @@ class DetectorTrainer:
         self.tx = optax.adamw(cfg.learning_rate, weight_decay=cfg.weight_decay)
 
     def init_state(self, key: jax.Array, example_images: jnp.ndarray) -> TrainState:
-        variables = self.model.init(key, example_images, train=False)
+        variables = jax.jit(
+            functools.partial(self.model.init, train=False)
+        )(key, example_images)
         return TrainState(
             params=variables["params"],
             batch_stats=variables.get("batch_stats", {}),

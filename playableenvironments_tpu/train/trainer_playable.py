@@ -18,6 +18,8 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Tuple
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -152,21 +154,26 @@ class PlayableTrainer:
             for i, cfg in enumerate(self.scene_animation_configs())
         ]
         gt0 = jnp.asarray(self.cfg.ground_truth_observations_start, jnp.int32)
-        variables = self.playable_model.init(
-            rngs, encoding, gt0, self._per_object_centroids(centroids),
-            method=PlayableEnvironmentModel.animate,
-        )
+        variables = jax.jit(
+            functools.partial(
+                self.playable_model.init,
+                method=PlayableEnvironmentModel.animate,
+            )
+        )(rngs, encoding, gt0, self._per_object_centroids(centroids))
         if self.playable_model.with_discriminators:
-            disc_variables = self.playable_model.init(
-                rngs,
-                self.playable_model.apply(
-                    variables, encoding, gt0, self._per_object_centroids(centroids),
-                    method=PlayableEnvironmentModel.animate,
-                    rngs=rngs,
-                ),
-                encoding,
-                False,
-                method=PlayableEnvironmentModel.discriminate,
+            def _disc_init(r, v, enc, g, cents):
+                animated = self.playable_model.apply(
+                    v, enc, g, cents,
+                    method=PlayableEnvironmentModel.animate, rngs=r,
+                )
+                return self.playable_model.init(
+                    r, animated, enc, False,
+                    method=PlayableEnvironmentModel.discriminate,
+                )
+
+            disc_variables = jax.jit(_disc_init)(
+                rngs, variables, encoding, gt0,
+                self._per_object_centroids(centroids),
             )
             # Merge discriminator params into the same tree.
             variables = jax.tree_util.tree_map(

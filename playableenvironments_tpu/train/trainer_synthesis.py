@@ -10,6 +10,7 @@ distance.
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass, field
 from typing import Dict, Optional, Sequence, Tuple
 
@@ -88,13 +89,20 @@ class SynthesisTrainer:
     # ------------------------------------------------------------------
 
     def init_state(self, key: jax.Array, example_batch: Batch) -> TrainState:
-        variables = self.model.init(
+        # jit the init: eager flax init dispatches per-op, which is seconds
+        # per dispatch over a tunneled TPU (see __graft_entry__.entry).
+        init_fn = jax.jit(
+            functools.partial(
+                self.model.init,
+                samples_per_image=self.cfg.samples_per_image,
+                patch_size=self.cfg.patch_size,
+                patch_strides=self.cfg.patch_strides or None,
+                decode_patches=self.cfg.decode_patches,
+            )
+        )
+        variables = init_fn(
             {**split_rngs(key), "params": key},
             *example_batch.environment_model_args(),
-            samples_per_image=self.cfg.samples_per_image,
-            patch_size=self.cfg.patch_size,
-            patch_strides=self.cfg.patch_strides or None,
-            decode_patches=self.cfg.decode_patches,
         )
         group_lrs, freeze = None, None
         if self.cfg.decode_patches:

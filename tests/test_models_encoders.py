@@ -19,7 +19,40 @@ from playableenvironments_tpu.models.parameter_encoders import (
     normalize_angle_range,
     static_object_poses,
 )
-from playableenvironments_tpu.ops.roi_crop import crop_and_resize, expand_boxes
+from playableenvironments_tpu.ops.roi_crop import (
+    _bilinear_sample,
+    crop_and_resize,
+    expand_boxes,
+)
+
+
+def test_crop_matches_gather_bilinear():
+    """The separable-matmul crop must equal clipped corner-gather bilinear
+    sampling exactly (boxes overflowing the image included)."""
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.random((5, 18, 26, 3), np.float32))
+    boxes = jnp.asarray(
+        np.stack(
+            [
+                rng.uniform(-8, 15, 5), rng.uniform(-6, 10, 5),
+                rng.uniform(15, 35, 5), rng.uniform(10, 26, 5),
+            ],
+            axis=1,
+        ).astype(np.float32)
+    )
+    out_h, out_w = 8, 12
+
+    def gather_crop(image, box):
+        left, top, right, bottom = box[0], box[1], box[2], box[3]
+        ys = top + (jnp.arange(out_h) + 0.5) / out_h * (bottom - top) - 0.5
+        xs = left + (jnp.arange(out_w) + 0.5) / out_w * (right - left) - 0.5
+        gy = jnp.broadcast_to(ys[:, None], (out_h, out_w))
+        gx = jnp.broadcast_to(xs[None, :], (out_h, out_w))
+        return _bilinear_sample(image, gy, gx)
+
+    expected = jax.vmap(gather_crop)(images, boxes)
+    got = crop_and_resize(images, boxes, (out_h, out_w))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=1e-5)
 
 
 def test_crop_and_resize_identity():

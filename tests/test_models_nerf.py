@@ -161,6 +161,48 @@ def test_object_field_masks_outside_bbox(key):
     assert np.all(np.asarray(alphas[0, 0]) != -3.5)
 
 
+def test_object_field_bfloat16_compute_close_to_f32(key):
+    """compute_dtype=bfloat16 shares f32 params, returns f32 outputs close
+    to the f32 path, and keeps gradients finite."""
+    import dataclasses
+
+    cfg32 = make_object_cfg()
+    cfg16 = dataclasses.replace(
+        cfg32,
+        nerf=dataclasses.replace(cfg32.nerf, compute_dtype="bfloat16"),
+        bender=dataclasses.replace(cfg32.bender, compute_dtype="bfloat16"),
+    )
+    f32, f16 = ObjectRadianceField(cfg32), ObjectRadianceField(cfg16)
+    positions = jax.random.uniform(
+        jax.random.PRNGKey(1), (1, 3, 4, 3), minval=-0.9, maxval=0.9
+    )
+    origins = jnp.zeros((1, 3, 3))
+    directions = jnp.ones((1, 3, 3))
+    style = jnp.ones((1, 8)) * 0.3
+    deformation = jnp.ones((1, 4)) * 0.3
+    variables = f32.init(key, positions, origins, directions, style, deformation)
+
+    out32 = f32.apply(variables, positions, origins, directions, style,
+                      deformation, mutable=["batch_stats"])[0]
+    out16 = f16.apply(variables, positions, origins, directions, style,
+                      deformation, mutable=["batch_stats"])[0]
+    assert out16[0].dtype == jnp.float32 and out16[1].dtype == jnp.float32
+    scale = float(jnp.max(jnp.abs(out32[0]))) + 1e-9
+    assert float(jnp.max(jnp.abs(out32[0] - out16[0]))) / scale < 0.05
+
+    def loss(v):
+        feats, alphas, _, _ = f16.apply(
+            v, positions, origins, directions, style, deformation,
+            mutable=["batch_stats"],
+        )[0]
+        return jnp.sum(feats ** 2) + jnp.sum(alphas ** 2)
+
+    grads = jax.grad(loss)(variables)
+    leaves = jax.tree.leaves(grads)
+    assert all(g.dtype == jnp.float32 for g in leaves)
+    assert all(bool(jnp.all(jnp.isfinite(g))) for g in leaves)
+
+
 def test_object_field_positional_bender_near_zero_and_clamped(key):
     cfg = make_object_cfg(
         bender=RayBenderConfig(

@@ -181,13 +181,25 @@ def render_rays_fast(
             jnp.broadcast_to(jnp.arange(budget), (l, budget))
         )
 
-        t_c = t_full[batch_idx, order] if compact else t_full
-        o_origins_c = (
-            jnp.broadcast_to(o_origins[:, None], (l, rays, 3))[batch_idx, order]
-            if compact
-            else jnp.broadcast_to(o_origins[:, None], (l, rays, 3))
-        )
-        o_dirs_c = o_dirs[batch_idx, order] if compact else o_dirs
+        # Object-frame origins are per-image constants (camera center in the
+        # object frame): broadcast, never gather.
+        o_origins_c = jnp.broadcast_to(o_origins[:, None], (l, budget, 3))
+        if compact:
+            # One wide gather for every per-ray payload indexed by `order`
+            # (t samples + direction + direction norm): each take_along_axis
+            # lowers to its own gather custom-fusion on TPU, and the fixed
+            # per-gather cost dominates at these widths.
+            packed = jnp.concatenate(
+                [t_full, o_dirs, dir_norm[..., None]], axis=-1
+            )  # (L, R, S+4)
+            packed_c = packed[batch_idx, order]
+            t_c = packed_c[..., :samples]
+            o_dirs_c = packed_c[..., samples : samples + 3]
+            dirn_c = packed_c[..., samples + 3]
+        else:
+            t_c = t_full
+            o_dirs_c = o_dirs
+            dirn_c = dir_norm
         positions_c = (
             o_origins_c[..., None, :] + t_c[..., None] * o_dirs_c[..., None, :]
         )  # (L, B, S, 3)
@@ -259,7 +271,7 @@ def render_rays_fast(
             "compact": compact, "t_full": t_full, "t_c": t_c,
             "raw_alpha_c": alpha_c, "feats_c": feats_c, "disp_c": disp_c,
             "o_origins_c": o_origins_c,
-            "dirn_c": dir_norm[batch_idx, order] if compact else dir_norm,
+            "dirn_c": dirn_c,
         })
 
     # ---- Overlap fix (Minecraft): full-domain static objects only --------
@@ -303,12 +315,24 @@ def render_rays_fast(
         own_next = jnp.concatenate(
             [t_a[..., 1:], jnp.full_like(t_a[..., :1], big)], axis=-1
         )
+        if entry["compact"]:
+            # One wide gather of every OTHER object's full-domain t at this
+            # object's compacted rays (same `order` indices for all of them).
+            others = [b for b in range(objects) if b != a]
+            t_others = jnp.concatenate(
+                [per[b]["t_full"] for b in others], axis=-1
+            )[batch_idx, entry["order"]]
+            begin = 0
+            for b in others:
+                s_b = per[b]["t_full"].shape[-1]
+                t_b_at_cache[(a, b)] = t_others[..., begin : begin + s_b]
+                begin += s_b
         candidates = [own_next]
         for b, other in enumerate(per):
             if b == a:
                 continue
             if entry["compact"]:
-                t_b_at_a = other["t_full"][batch_idx, entry["order"]]
+                t_b_at_a = t_b_at_cache[(a, b)]
             else:
                 t_b_at_a = other["t_full"]
             t_b_at_cache[(a, b)] = t_b_at_a  # (L, B_a, S_b)
@@ -329,10 +353,8 @@ def render_rays_fast(
     # ---- Phase 3: transmittance, weights, scattered integrals ------------
     features_count = per[0]["feats_c"].shape[-1]
     total_samples = sum(e["t_c"].shape[-1] for e in per)
-    global_features = jnp.zeros((l, rays, features_count), dirs.dtype)
-    global_opacity = jnp.zeros((l, rays), dirs.dtype)
-    global_depth = jnp.zeros((l, rays), dirs.dtype)
-    global_disp_mag = jnp.zeros((l, rays), dirs.dtype)
+    # Packed global accumulator: features ++ (opacity, depth, disp_mag).
+    global_packed = jnp.zeros((l, rays, features_count + 3), dirs.dtype)
 
     def exclusive_cumsum(values):
         cs = jnp.cumsum(values, axis=-1)
@@ -344,25 +366,50 @@ def render_rays_fast(
     for a, entry in enumerate(per):
         t_a = entry["t_c"]
         transmittance_log = exclusive_cumsum(entry["log1m_c"])
+
+        # Other objects' per-sample log mass at THIS object's rays. Packed
+        # into at most two wide gathers: full-domain others share `order`
+        # indices; compact others each need their own inverse-permutation
+        # lookup (but the inv indices themselves pack with `order` when this
+        # object is compact — they are gathered from (L, R) tables).
+        log1m_b_at = {}
+        full_others = [
+            b for b in range(objects) if b != a and not per[b]["compact"]
+        ]
+        if full_others and entry["compact"]:
+            packed = jnp.concatenate(
+                [per[b]["log1m_c"] for b in full_others], axis=-1
+            )[batch_idx, entry["order"]]
+            begin = 0
+            for b in full_others:
+                s_b = per[b]["log1m_c"].shape[-1]
+                log1m_b_at[b] = packed[..., begin : begin + s_b]
+                begin += s_b
+        else:
+            for b in full_others:
+                log1m_b_at[b] = per[b]["log1m_c"]
+        for b in range(objects):
+            if b == a or not per[b]["compact"]:
+                continue
+            other = per[b]
+            idx_b = (
+                other["inv"][batch_idx, entry["order"]]
+                if entry["compact"]
+                else other["inv"]
+            )  # (L, B_a)
+            valid = idx_b < other["budget"]
+            gathered = jnp.take_along_axis(
+                other["log1m_c"],
+                jnp.clip(idx_b, 0, other["budget"] - 1)[..., None],
+                axis=1,
+            )
+            log1m_b_at[b] = jnp.where(valid[..., None], gathered, 0.0)
+
         for b, other in enumerate(per):
             if b == a:
                 continue
             t_b_at_a = t_b_at_cache[(a, b)]
-            # Other object's per-sample log mass at THIS object's rays:
-            # rays outside b's budget carry no alpha mass there (zero).
-            if other["compact"]:
-                idx_b = other["inv"][batch_idx, entry["order"]]  # (L, B_a)
-                valid = idx_b < other["budget"]
-                gathered = jnp.take_along_axis(
-                    other["log1m_c"],
-                    jnp.clip(idx_b, 0, other["budget"] - 1)[..., None],
-                    axis=1,
-                )
-                log1m_b_at_a = jnp.where(valid[..., None], gathered, 0.0)
-            elif entry["compact"]:
-                log1m_b_at_a = other["log1m_c"][batch_idx, entry["order"]]
-            else:
-                log1m_b_at_a = other["log1m_c"]
+            log1m_b_at_a = log1m_b_at[b]
             ti = t_a[..., :, None]
             tj = t_b_at_a[..., None, :]
             before = (tj < ti) | ((tj == ti) & (b < a))
@@ -381,14 +428,18 @@ def render_rays_fast(
             jax.lax.stop_gradient(weights) * disp_norm, axis=-1
         )
         order = entry["order"]
-        global_features = global_features.at[batch_idx, order].add(
-            contrib_features
-        )
-        global_opacity = global_opacity.at[batch_idx, order].add(
-            contrib_opacity
-        )
-        global_depth = global_depth.at[batch_idx, order].add(contrib_depth)
-        global_disp_mag = global_disp_mag.at[batch_idx, order].add(contrib_disp)
+        # ONE packed scatter-add per object (features ++ opacity/depth/disp):
+        # each .at[].add is its own scatter custom-fusion otherwise.
+        packed_contrib = jnp.concatenate(
+            [
+                contrib_features,
+                contrib_opacity[..., None],
+                contrib_depth[..., None],
+                contrib_disp[..., None],
+            ],
+            axis=-1,
+        )  # (L, B, F+3)
+        global_packed = global_packed.at[batch_idx, order].add(packed_contrib)
 
         # Per-object integration (own-sample spacing, own transmittance —
         # compositing.integrate semantics), scattered to the full ray set.
@@ -411,42 +462,56 @@ def render_rays_fast(
         obj_disp = jnp.mean(
             jax.lax.stop_gradient(own_weights) * disp_norm, axis=-1
         )
-        samples_a = t_a.shape[-1]
 
-        def scatter(values, fill=0.0):
-            full = jnp.full((l, rays) + values.shape[2:], fill, values.dtype)
-            return full.at[batch_idx, order].set(values)
-
+        # ONE packed scatter per object; disparity is derived from the
+        # scattered opacity/depth (unscattered rays: 0/eps -> clip -> 1e10,
+        # exactly the old fill value).
+        packed_obj = jnp.concatenate(
+            [
+                obj_features,
+                obj_opacity[..., None],
+                obj_depth[..., None],
+                obj_disp[..., None],
+            ],
+            axis=-1,
+        )
+        scattered = (
+            jnp.zeros((l, rays, features_count + 3), dirs.dtype)
+            .at[batch_idx, order]
+            .set(packed_obj)
+        )
+        s_opacity = scattered[..., features_count]
+        s_depth = scattered[..., features_count + 1]
         obj_disparity = 1.0 / jnp.clip(
-            obj_depth / jnp.clip(obj_opacity, 1e-10, None), min=1e-10
+            s_depth / jnp.clip(s_opacity, 1e-10, None), min=1e-10
         )
         results["coarse"][f"object_{a}"] = {
-            "integrated_features": scatter(obj_features).reshape(
+            "integrated_features": scattered[..., :features_count].reshape(
                 lead + (rays, features_count)
             ),
-            "opacity": scatter(obj_opacity).reshape(lead + (rays,)),
-            "depth": scatter(obj_depth).reshape(lead + (rays,)),
-            "disparity": scatter(obj_disparity, fill=1e10).reshape(
-                lead + (rays,)
-            ),
-            "integrated_displacements_magnitude": scatter(obj_disp).reshape(
-                lead + (rays,)
-            ),
+            "opacity": s_opacity.reshape(lead + (rays,)),
+            "depth": s_depth.reshape(lead + (rays,)),
+            "disparity": obj_disparity.reshape(lead + (rays,)),
+            "integrated_displacements_magnitude": scattered[
+                ..., features_count + 2
+            ].reshape(lead + (rays,)),
             "integrated_divergence": jnp.zeros(lead + (rays,), dirs.dtype),
         }
 
+    global_opacity = global_packed[..., features_count]
+    global_depth = global_packed[..., features_count + 1]
     global_disparity = 1.0 / jnp.clip(
         global_depth / jnp.clip(global_opacity, 1e-10, None), min=1e-10
     )
     results["coarse"]["global"] = {
-        "integrated_features": global_features.reshape(
+        "integrated_features": global_packed[..., :features_count].reshape(
             lead + (rays, features_count)
         ),
         "opacity": global_opacity.reshape(lead + (rays,)),
         "depth": global_depth.reshape(lead + (rays,)),
         "disparity": global_disparity.reshape(lead + (rays,)),
         "integrated_displacements_magnitude": (
-            global_disp_mag / total_samples
+            global_packed[..., features_count + 2] / total_samples
         ).reshape(lead + (rays,)),
         "integrated_divergence": jnp.zeros(lead + (rays,), dirs.dtype),
     }

@@ -174,6 +174,9 @@ class AutoencoderConfig:
     # at 1/4 and 1/8 resolution (cumulative powers of two).
     downsampling_layers_count: Tuple[int, ...] = (2, 1)
     variational: bool = True
+    # Conv matmul dtype (params and BatchNorm statistics stay float32;
+    # bfloat16 runs the convs on the MXU's fast path).
+    compute_dtype: str = "float32"
 
 
 @dataclass(frozen=True)
@@ -415,6 +418,9 @@ def scene_from_dict(model_d: Dict[str, Any], playable_d: Optional[Dict[str, Any]
             bottleneck_features=int(ae_d.get("bottleneck_features", 128)),
             bottleneck_blocks=int(ae_d.get("bottleneck_blocks", 3)),
             downsampling_layers_count=tuple(ae_d.get("downsampling_layers_count", (2, 1))),
+            compute_dtype=str(
+                ae_d.get("compute_dtype", model_d.get("compute_dtype", "float32"))
+            ),
         )
     animation = ()
     if playable_d is not None:

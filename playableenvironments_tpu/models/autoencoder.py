@@ -30,28 +30,37 @@ def reflect_pad(x: jnp.ndarray, pad: int) -> jnp.ndarray:
 class CycleGanResnetBlock(nn.Module):
     """Residual block: [reflect-pad conv3x3 BN ReLU] x2 (second without ReLU),
     1x1 projection on the skip when widths differ.
-    Reference: model/autoencoder_models/layers/cyclegan_resnet_block.py."""
+    Reference: model/autoencoder_models/layers/cyclegan_resnet_block.py.
+
+    Convs run in `compute_dtype` (bfloat16 = full-rate MXU); params and
+    BatchNorm statistics stay float32."""
 
     out_features: int
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
-        y = reflect_pad(x, 1)
+        dtype = jnp.dtype(self.compute_dtype)
+        y = reflect_pad(x, 1).astype(dtype)
         y = nn.Conv(self.out_features, (3, 3), padding="VALID", use_bias=False,
-                    name="conv1")(y)
-        y = nn.BatchNorm(use_running_average=not train, name="bn1")(y)
+                    dtype=dtype, name="conv1")(y)
+        y = nn.BatchNorm(use_running_average=not train, name="bn1")(
+            y.astype(jnp.float32)
+        )
         y = nn.relu(y)
-        y = reflect_pad(y, 1)
+        y = reflect_pad(y, 1).astype(dtype)
         y = nn.Conv(self.out_features, (3, 3), padding="VALID", use_bias=False,
-                    name="conv2")(y)
-        y = nn.BatchNorm(use_running_average=not train, name="bn2")(y)
+                    dtype=dtype, name="conv2")(y)
+        y = nn.BatchNorm(use_running_average=not train, name="bn2")(
+            y.astype(jnp.float32)
+        )
 
         residual = x
         if x.shape[-1] != self.out_features:
             residual = nn.Conv(self.out_features, (1, 1), use_bias=False,
-                               name="skip_conv")(x)
+                               dtype=dtype, name="skip_conv")(x.astype(dtype))
             residual = nn.BatchNorm(use_running_average=not train, name="skip_bn")(
-                residual
+                residual.astype(jnp.float32)
             )
         return residual + y
 
@@ -92,13 +101,17 @@ class MultiresEncoder(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True) -> List[jnp.ndarray]:
         deep = self.cfg.variant == "v9"
+        dtype = jnp.dtype(self.cfg.compute_dtype)
         initial = self.cfg.bottleneck_features // (
             2 ** sum(self.cfg.downsampling_layers_count)
         )
 
-        y = reflect_pad(x, 3)
-        y = nn.Conv(initial, (7, 7), padding="VALID", use_bias=False, name="initial_conv")(y)
-        y = nn.BatchNorm(use_running_average=not train, name="initial_bn")(y)
+        y = reflect_pad(x, 3).astype(dtype)
+        y = nn.Conv(initial, (7, 7), padding="VALID", use_bias=False,
+                    dtype=dtype, name="initial_conv")(y)
+        y = nn.BatchNorm(use_running_average=not train, name="initial_bn")(
+            y.astype(jnp.float32)
+        )
         y = nn.relu(y)
 
         outputs = []
@@ -108,11 +121,11 @@ class MultiresEncoder(nn.Module):
                 mult = 2 ** cumulative
                 y = nn.Conv(
                     initial * mult * 2, (3, 3), padding="SAME", use_bias=False,
-                    name=f"down_{set_idx}_{i}",
-                )(y)
+                    dtype=dtype, name=f"down_{set_idx}_{i}",
+                )(y.astype(dtype))
                 y = nn.BatchNorm(
                     use_running_average=not train, name=f"down_bn_{set_idx}_{i}"
-                )(y)
+                )(y.astype(jnp.float32))
                 y = nn.relu(y)
                 y = nn.avg_pool(y, (2, 2), strides=(2, 2))
                 cumulative += 1
@@ -120,7 +133,8 @@ class MultiresEncoder(nn.Module):
                 if deep and downs >= 3 and i == 1:
                     for b in range(self.cfg.bottleneck_blocks):
                         y = CycleGanResnetBlock(
-                            initial * mult * 2, name=f"mid_res_{set_idx}_{b}"
+                            initial * mult * 2, self.cfg.compute_dtype,
+                            name=f"mid_res_{set_idx}_{b}"
                         )(y, train)
                         y = nn.relu(y)
 
@@ -129,9 +143,10 @@ class MultiresEncoder(nn.Module):
                 out_dim = width
                 if b == self.cfg.bottleneck_blocks - 1 and self.cfg.variational:
                     out_dim = 2 * width
-                y = CycleGanResnetBlock(out_dim, name=f"bottleneck_{set_idx}_{b}")(
-                    y, train
-                )
+                y = CycleGanResnetBlock(
+                    out_dim, self.cfg.compute_dtype,
+                    name=f"bottleneck_{set_idx}_{b}"
+                )(y, train)
                 if deep and b != self.cfg.bottleneck_blocks - 1:
                     y = nn.relu(y)
 
@@ -156,6 +171,7 @@ class MultiresDecoder(nn.Module):
         highest resolution (encoder output order).
         :return: (N, H, W, input_features) reconstruction in [0, 1]."""
         deep = self.cfg.variant == "v9"
+        dtype = jnp.dtype(self.cfg.compute_dtype)
         initial = self.cfg.bottleneck_features // (
             2 ** sum(self.cfg.downsampling_layers_count)
         )
@@ -166,7 +182,8 @@ class MultiresDecoder(nn.Module):
         for set_idx, downs in enumerate(reversed_counts):
             for b in range(self.cfg.bottleneck_blocks):
                 y = CycleGanResnetBlock(
-                    initial * mult, name=f"bottleneck_{set_idx}_{b}"
+                    initial * mult, self.cfg.compute_dtype,
+                    name=f"bottleneck_{set_idx}_{b}"
                 )(y, train)
                 if deep:
                     y = nn.relu(y)
@@ -176,17 +193,18 @@ class MultiresDecoder(nn.Module):
                 y = reflect_pad(y, 1)
                 y = nn.Conv(
                     initial * mult // 2, (3, 3), padding="VALID", use_bias=False,
-                    name=f"up_{set_idx}_{i}",
-                )(y)
+                    dtype=dtype, name=f"up_{set_idx}_{i}",
+                )(y.astype(dtype))
                 y = nn.BatchNorm(
                     use_running_average=not train, name=f"up_bn_{set_idx}_{i}"
-                )(y)
+                )(y.astype(jnp.float32))
                 y = nn.relu(y)
                 mult //= 2
                 if deep and downs >= 3 and i == downs - 2:
                     for b in range(self.cfg.bottleneck_blocks):
                         y = CycleGanResnetBlock(
-                            initial * mult, name=f"mid_res_{set_idx}_{b}"
+                            initial * mult, self.cfg.compute_dtype,
+                            name=f"mid_res_{set_idx}_{b}"
                         )(y, train)
                         y = nn.relu(y)
 
@@ -194,9 +212,10 @@ class MultiresDecoder(nn.Module):
                 skip = encoded_levels[-set_idx - 2]
                 y = jnp.concatenate([y, skip], axis=-1)
 
-        y = reflect_pad(y, 3)
-        y = nn.Conv(self.cfg.input_features, (7, 7), padding="VALID", name="final_conv")(y)
-        return nn.sigmoid(y)
+        y = reflect_pad(y, 3).astype(dtype)
+        y = nn.Conv(self.cfg.input_features, (7, 7), padding="VALID",
+                    dtype=dtype, name="final_conv")(y)
+        return nn.sigmoid(y.astype(jnp.float32))
 
 
 class MultiresAutoencoder(nn.Module):

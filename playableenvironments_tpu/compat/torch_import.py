@@ -100,3 +100,197 @@ def split_state_dict(
         if key.startswith(prefix + "."):
             out[key[len(prefix) + 1 :]] = value
     return out
+
+
+# ---------------------------------------------------------------------------
+# Convolutional modules (object encoders, autoencoder)
+# ---------------------------------------------------------------------------
+
+
+def _conv(state: Mapping[str, np.ndarray], prefix: str, bias: bool = False):
+    """torch Conv2d (O, I, kH, kW) -> flax Conv kernel (kH, kW, I, O)."""
+    out = {
+        "kernel": np.ascontiguousarray(
+            np.asarray(state[f"{prefix}.weight"]).transpose(2, 3, 1, 0)
+        )
+    }
+    if bias:
+        out["bias"] = np.asarray(state[f"{prefix}.bias"])
+    return out
+
+
+def _batchnorm(state: Mapping[str, np.ndarray], prefix: str):
+    """torch BatchNorm2d -> (flax BatchNorm params, batch_stats)."""
+    params = {
+        "scale": np.asarray(state[f"{prefix}.weight"]),
+        "bias": np.asarray(state[f"{prefix}.bias"]),
+    }
+    stats = {
+        "mean": np.asarray(state[f"{prefix}.running_mean"]),
+        "var": np.asarray(state[f"{prefix}.running_var"]),
+    }
+    return params, stats
+
+
+def convert_residual_block(
+    state: Mapping[str, np.ndarray], prefix: str
+) -> Tuple[Dict, Dict]:
+    """model/layers/residual_block.py ResidualBlock -> models.layers.ResidualBlock.
+
+    Reference layout: conv1, bn1, conv2, bn2 [, downsample.0 (1x1 conv),
+    downsample.2 (BN)]; ours: conv1, bn1, conv2, bn2 [, skip_conv, skip_bn].
+    """
+    p = prefix + "." if prefix else ""
+    params: Dict = {"conv1": _conv(state, f"{p}conv1"), "conv2": _conv(state, f"{p}conv2")}
+    stats: Dict = {}
+    params["bn1"], stats["bn1"] = _batchnorm(state, f"{p}bn1")
+    params["bn2"], stats["bn2"] = _batchnorm(state, f"{p}bn2")
+    if f"{p}downsample.0.weight" in state:
+        params["skip_conv"] = _conv(state, f"{p}downsample.0")
+        params["skip_bn"], stats["skip_bn"] = _batchnorm(state, f"{p}downsample.2")
+    return params, stats
+
+
+def convert_object_encoder_v4(
+    state: Mapping[str, np.ndarray], prefix: str = ""
+) -> Tuple[Dict, Dict]:
+    """ObjectEncoderV4 state_dict -> models.object_encoders.ObjectEncoderV4.
+
+    Reference layout (object_encoder_v4.py:41-60): conv1, bn1,
+    initial_backbone.0 (ResidualBlock emitting features+attention),
+    final_backbone.0-3 (ResidualBlocks), style_head, deformation_head.
+    """
+    p = prefix
+    params: Dict = {"conv1": _conv(state, f"{p}conv1")}
+    stats: Dict = {}
+    params["bn1"], stats["bn1"] = _batchnorm(state, f"{p}bn1")
+    params["initial"], stats["initial"] = convert_residual_block(
+        state, f"{p}initial_backbone.0"
+    )
+    for i in range(4):
+        params[f"final_{i}"], stats[f"final_{i}"] = convert_residual_block(
+            state, f"{p}final_backbone.{i}"
+        )
+    params["style_head"] = _linear(state, f"{p}style_head")
+    params["deformation_head"] = _linear(state, f"{p}deformation_head")
+    return params, stats
+
+
+def convert_object_encoder_v5(
+    state: Mapping[str, np.ndarray], prefix: str = ""
+) -> Tuple[Dict, Dict]:
+    """ObjectEncoderV5 state_dict -> models.object_encoders.ObjectEncoderV5.
+
+    Reference layout (object_encoder_v5.py:41-62): conv1 (7x7 stride 2), bn1,
+    initial_backbone.0-1, final_backbone.0-5, style_head, deformation_head.
+    """
+    p = prefix
+    params: Dict = {"conv1": _conv(state, f"{p}conv1")}
+    stats: Dict = {}
+    params["bn1"], stats["bn1"] = _batchnorm(state, f"{p}bn1")
+    for i in range(2):
+        params[f"initial_{i}"], stats[f"initial_{i}"] = convert_residual_block(
+            state, f"{p}initial_backbone.{i}"
+        )
+    for i in range(6):
+        params[f"final_{i}"], stats[f"final_{i}"] = convert_residual_block(
+            state, f"{p}final_backbone.{i}"
+        )
+    params["style_head"] = _linear(state, f"{p}style_head")
+    params["deformation_head"] = _linear(state, f"{p}deformation_head")
+    return params, stats
+
+
+def convert_cyclegan_block(
+    state: Mapping[str, np.ndarray], prefix: str
+) -> Tuple[Dict, Dict]:
+    """autoencoder_models/layers/cyclegan_resnet_block.py -> models.autoencoder.
+    CycleGanResnetBlock. Reference Sequential indices with reflect padding:
+    conv_block.{1,5} convs, conv_block.{2,6} norms;
+    residual_connection_convolution.{0,1} when widths differ."""
+    p = prefix + "." if prefix else ""
+    params: Dict = {
+        "conv1": _conv(state, f"{p}conv_block.1"),
+        "conv2": _conv(state, f"{p}conv_block.5"),
+    }
+    stats: Dict = {}
+    params["bn1"], stats["bn1"] = _batchnorm(state, f"{p}conv_block.2")
+    params["bn2"], stats["bn2"] = _batchnorm(state, f"{p}conv_block.6")
+    if f"{p}residual_connection_convolution.0.weight" in state:
+        params["skip_conv"] = _conv(state, f"{p}residual_connection_convolution.0")
+        params["skip_bn"], stats["skip_bn"] = _batchnorm(
+            state, f"{p}residual_connection_convolution.1"
+        )
+    return params, stats
+
+
+def convert_multires_encoder(
+    state: Mapping[str, np.ndarray],
+    downsampling_layers_count=(2, 1),
+    bottleneck_blocks: int = 3,
+    prefix: str = "",
+) -> Tuple[Dict, Dict]:
+    """autoencoder_models/encoder_v4.py EncoderV4 -> MultiresEncoder (v8).
+
+    Reference Sequential layout per set: [conv, norm, relu, avgpool] x downs
+    then CycleGanResnetBlock x bottleneck_blocks, under
+    downsampling_layers.{set}; initial_convolution.{1,2} = 7x7 conv + norm.
+    """
+    p = prefix
+    params: Dict = {"initial_conv": _conv(state, f"{p}initial_convolution.1")}
+    stats: Dict = {}
+    params["initial_bn"], stats["initial_bn"] = _batchnorm(
+        state, f"{p}initial_convolution.2"
+    )
+    for set_idx, downs in enumerate(downsampling_layers_count):
+        seq = 0
+        for i in range(downs):
+            params[f"down_{set_idx}_{i}"] = _conv(
+                state, f"{p}downsampling_layers.{set_idx}.{seq}"
+            )
+            (params[f"down_bn_{set_idx}_{i}"],
+             stats[f"down_bn_{set_idx}_{i}"]) = _batchnorm(
+                state, f"{p}downsampling_layers.{set_idx}.{seq + 1}"
+            )
+            seq += 4
+        for b in range(bottleneck_blocks):
+            (params[f"bottleneck_{set_idx}_{b}"],
+             stats[f"bottleneck_{set_idx}_{b}"]) = convert_cyclegan_block(
+                state, f"{p}downsampling_layers.{set_idx}.{seq + b}"
+            )
+    return params, stats
+
+
+def convert_multires_decoder(
+    state: Mapping[str, np.ndarray],
+    downsampling_layers_count=(2, 1),
+    bottleneck_blocks: int = 3,
+    prefix: str = "",
+) -> Tuple[Dict, Dict]:
+    """autoencoder_models/decoder_v6.py DecoderV6 -> MultiresDecoder (v8).
+
+    Reference Sequential layout per upsample_blocks.{set}: CycleGanResnetBlock
+    x bottleneck_blocks then [upsample, conv, norm, relu] x downs (conv at
+    B + 4i + 1); final_convolutions.1 = 7x7 conv (with bias).
+    """
+    p = prefix
+    params: Dict = {}
+    stats: Dict = {}
+    reversed_counts = list(reversed(downsampling_layers_count))
+    for set_idx, downs in enumerate(reversed_counts):
+        for b in range(bottleneck_blocks):
+            (params[f"bottleneck_{set_idx}_{b}"],
+             stats[f"bottleneck_{set_idx}_{b}"]) = convert_cyclegan_block(
+                state, f"{p}upsample_blocks.{set_idx}.{b}"
+            )
+        for i in range(downs):
+            base = bottleneck_blocks + 4 * i
+            params[f"up_{set_idx}_{i}"] = _conv(
+                state, f"{p}upsample_blocks.{set_idx}.{base + 1}"
+            )
+            (params[f"up_bn_{set_idx}_{i}"],
+             stats[f"up_bn_{set_idx}_{i}"]) = _batchnorm(
+                state, f"{p}upsample_blocks.{set_idx}.{base + 2}"
+            )
+    params["final_conv"] = _conv(state, f"{p}final_convolutions.1", bias=True)
+    return params, stats

@@ -119,10 +119,11 @@ class MultiresEncoder(nn.Module):
         for set_idx, downs in enumerate(self.cfg.downsampling_layers_count):
             for i in range(downs):
                 mult = 2 ** cumulative
+                # Reflect padding (encoder_v4.py:60 padding_mode="reflect").
                 y = nn.Conv(
-                    initial * mult * 2, (3, 3), padding="SAME", use_bias=False,
+                    initial * mult * 2, (3, 3), padding="VALID", use_bias=False,
                     dtype=dtype, name=f"down_{set_idx}_{i}",
-                )(y.astype(dtype))
+                )(reflect_pad(y, 1).astype(dtype))
                 y = nn.BatchNorm(
                     use_running_average=not train, name=f"down_bn_{set_idx}_{i}"
                 )(y.astype(jnp.float32))

@@ -186,3 +186,232 @@ def test_ray_bender_checkpoint_parity(rng):
     np.testing.assert_allclose(
         np.asarray(j_disp), t_clamped, atol=2e-5, rtol=1e-4
     )
+
+
+def test_object_encoder_v4_checkpoint_parity(rng):
+    """Convert a reference ObjectEncoderV4 and require matching style/
+    deformation/attention on identical crops (full-image box -> our bilinear
+    crop is exactly identity; the reference conv stack is driven submodule-
+    by-submodule to bypass roi_pool's max-pool crop semantics, a documented
+    divergence)."""
+    import torch
+    import torch.nn as nn
+    import torch.nn.functional as F
+    from model.layers.residual_block import ResidualBlock as TorchResidualBlock
+
+    from playableenvironments_tpu.compat.torch_import import (
+        convert_object_encoder_v4,
+    )
+    from playableenvironments_tpu.config import ObjectEncoderConfig
+    from playableenvironments_tpu.models.object_encoders import ObjectEncoderV4
+
+    h, w = 16, 24
+
+    class TorchEncoder(nn.Module):
+        """Reference ObjectEncoderV4's exact module layout
+        (object_encoder_v4.py:41-60) built on the reference ResidualBlock;
+        the real class only adds torchvision.ops.roi_pool (absent here, and
+        a crop op this framework deliberately replaces)."""
+
+        def __init__(self):
+            super().__init__()
+            self.conv1 = nn.Conv2d(3 + 6, 16, 3, stride=1, padding=1, bias=False)
+            self.bn1 = nn.BatchNorm2d(16)
+            self.initial_backbone = nn.Sequential(
+                TorchResidualBlock(16, 16 + 1, downsample_factor=1,
+                                   drop_final_activation=True))
+            self.final_backbone = nn.Sequential(
+                TorchResidualBlock(16, 32, downsample_factor=2),
+                TorchResidualBlock(32, 32, downsample_factor=1),
+                TorchResidualBlock(32, 64, downsample_factor=2),
+                TorchResidualBlock(64, 64, downsample_factor=1))
+            self.style_head = nn.Linear(64, 12)
+            self.deformation_head = nn.Linear(64, 6)
+
+    torch_model = TorchEncoder()
+    torch_model.train()
+    obs = torch.rand(3, 3, h, w)
+    rot = torch.rand(3, 3) * 0.2
+    trans = torch.rand(3, 3)
+    with torch.no_grad():
+        # Warm the BN running stats through the same manual pipeline.
+        for _ in range(2):
+            pose = torch.cat([rot, trans], dim=-1)[:, :, None, None]
+            x = torch.cat([obs, pose.expand(-1, -1, h, w)], dim=1)
+            x = torch_model.conv1(x)
+            x = F.avg_pool2d(x, 2)
+            x = torch_model.bn1(x)
+            x = F.leaky_relu(x, 0.2)
+            init = torch_model.initial_backbone(x)
+            att = torch.sigmoid(init[:, -1:])
+            feats = F.leaky_relu(init[:, :-1], 0.2) * att
+            y = torch_model.final_backbone(feats)
+            pooled = F.adaptive_avg_pool2d(y, (1, 1)).squeeze(-1).squeeze(-1)
+    torch_model.eval()
+    with torch.no_grad():
+        pose = torch.cat([rot, trans], dim=-1)[:, :, None, None]
+        x = torch.cat([obs, pose.expand(-1, -1, h, w)], dim=1)
+        x = torch_model.conv1(x)
+        x = F.avg_pool2d(x, 2)
+        x = torch_model.bn1(x)
+        x = F.leaky_relu(x, 0.2)
+        init = torch_model.initial_backbone(x)
+        att = torch.sigmoid(init[:, -1:])
+        feats = F.leaky_relu(init[:, :-1], 0.2) * att
+        y = torch_model.final_backbone(feats)
+        pooled = F.adaptive_avg_pool2d(y, (1, 1)).squeeze(-1).squeeze(-1)
+        style_t = torch_model.style_head(pooled).numpy()
+        deform_t = torch_model.deformation_head(pooled).numpy()
+        att_t = att.numpy()
+
+    params, stats = convert_object_encoder_v4(_torch_state(torch_model))
+    enc = ObjectEncoderV4(
+        ObjectEncoderConfig(kind="v4", input_size=(h, w), style_features=12,
+                            deformation_features=6)
+    )
+    obs_j = jnp.asarray(obs.numpy().transpose(0, 2, 3, 1))
+    boxes_j = jnp.asarray(np.tile([0.0, 0.0, 1.0, 1.0], (3, 1)), jnp.float32)
+    style_j, deform_j, att_j, _ = enc.apply(
+        {"params": params, "batch_stats": stats},
+        obs_j, boxes_j, jnp.asarray(rot.numpy()), jnp.asarray(trans.numpy()),
+        train=False,
+    )
+    np.testing.assert_allclose(np.asarray(style_j), style_t, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(deform_j), deform_t, atol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(att_j).transpose(0, 3, 1, 2), att_t, atol=2e-4
+    )
+
+
+def test_object_encoder_v5_checkpoint_parity(rng):
+    import torch
+    import torch.nn as nn
+    import torch.nn.functional as F
+    from model.layers.residual_block import ResidualBlock as TorchResidualBlock
+
+    from playableenvironments_tpu.compat.torch_import import (
+        convert_object_encoder_v5,
+    )
+    from playableenvironments_tpu.config import ObjectEncoderConfig
+    from playableenvironments_tpu.models.object_encoders import ObjectEncoderV5
+
+    h, w = 32, 32
+
+    class TorchEncoder(nn.Module):
+        """Reference ObjectEncoderV5's exact module layout
+        (object_encoder_v5.py:41-62)."""
+
+        def __init__(self):
+            super().__init__()
+            self.conv1 = nn.Conv2d(3, 64, 7, stride=2, padding=3, bias=False)
+            self.bn1 = nn.BatchNorm2d(64)
+            self.initial_backbone = nn.Sequential(
+                TorchResidualBlock(64, 64, downsample_factor=2),
+                TorchResidualBlock(64, 64, downsample_factor=1))
+            self.final_backbone = nn.Sequential(
+                TorchResidualBlock(64, 128, downsample_factor=2),
+                TorchResidualBlock(128, 128, downsample_factor=1),
+                TorchResidualBlock(128, 256, downsample_factor=2),
+                TorchResidualBlock(256, 256, downsample_factor=1),
+                TorchResidualBlock(256, 512, downsample_factor=2),
+                TorchResidualBlock(512, 512, downsample_factor=1))
+            self.style_head = nn.Linear(512, 10)
+            self.deformation_head = nn.Linear(512, 4)
+
+    torch_model = TorchEncoder()
+
+    def torch_pipeline(o):
+        x = torch_model.conv1(o)
+        x = torch_model.bn1(x)
+        x = F.leaky_relu(x, 0.2)
+        x = torch_model.initial_backbone(x)
+        x = torch_model.final_backbone(x)
+        pooled = F.adaptive_avg_pool2d(x, (1, 1)).squeeze(-1).squeeze(-1)
+        return (torch_model.style_head(pooled),
+                torch_model.deformation_head(pooled))
+
+    obs = torch.rand(2, 3, h, w)
+    torch_model.train()
+    with torch.no_grad():
+        torch_pipeline(obs)
+    torch_model.eval()
+    with torch.no_grad():
+        style_t, deform_t = (t.numpy() for t in torch_pipeline(obs))
+
+    params, stats = convert_object_encoder_v5(_torch_state(torch_model))
+    enc = ObjectEncoderV5(
+        ObjectEncoderConfig(kind="v5", input_size=(h, w), style_features=10,
+                            deformation_features=4)
+    )
+    obs_j = jnp.asarray(obs.numpy().transpose(0, 2, 3, 1))
+    boxes_j = jnp.asarray(np.tile([0.0, 0.0, 1.0, 1.0], (2, 1)), jnp.float32)
+    style_j, deform_j, _, _ = enc.apply(
+        {"params": params, "batch_stats": stats}, obs_j, boxes_j, train=False
+    )
+    np.testing.assert_allclose(np.asarray(style_j), style_t, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(deform_j), deform_t, atol=2e-4)
+
+
+def test_autoencoder_v8_checkpoint_parity(rng):
+    """EncoderV4 + DecoderV6 (the published v8 feature renderer) convert and
+    reproduce the reference encode -> decode outputs."""
+    import torch
+    from model.autoencoder_models.encoder_v4 import EncoderV4
+    from model.autoencoder_models.decoder_v6 import DecoderV6
+
+    from playableenvironments_tpu.compat.torch_import import (
+        convert_multires_decoder,
+        convert_multires_encoder,
+    )
+    from playableenvironments_tpu.config import AutoencoderConfig
+    from playableenvironments_tpu.models.autoencoder import (
+        MultiresDecoder,
+        MultiresEncoder,
+    )
+
+    model_config = {
+        "input_features": 3,
+        "bottleneck_features": 32,
+        "bottleneck_blocks": 2,
+        "downsampling_layers_count": [2, 1],
+        "variational": True,
+    }
+    torch_enc = EncoderV4(model_config)
+    torch_dec = DecoderV6(model_config)
+    obs = torch.rand(2, 3, 32, 32)
+    torch_enc.train(); torch_dec.train()
+    with torch.no_grad():
+        levels = torch_enc(obs)
+        means = [l[:, : l.shape[1] // 2] for l in levels]
+        torch_dec(means)
+    torch_enc.eval(); torch_dec.eval()
+    with torch.no_grad():
+        levels_t = torch_enc(obs)
+        means_t = [l[:, : l.shape[1] // 2] for l in levels_t]
+        decoded_t = torch_dec(means_t).numpy()
+
+    cfg = AutoencoderConfig(
+        variant="v8", input_features=3, bottleneck_features=32,
+        bottleneck_blocks=2, downsampling_layers_count=(2, 1),
+    )
+    enc_params, enc_stats = convert_multires_encoder(
+        _torch_state(torch_enc), (2, 1), 2
+    )
+    dec_params, dec_stats = convert_multires_decoder(
+        _torch_state(torch_dec), (2, 1), 2
+    )
+    obs_j = jnp.asarray(obs.numpy().transpose(0, 2, 3, 1))
+    levels_j = MultiresEncoder(cfg).apply(
+        {"params": enc_params, "batch_stats": enc_stats}, obs_j, train=False
+    )
+    for lt, lj in zip(levels_t, levels_j):
+        np.testing.assert_allclose(
+            np.asarray(lj).transpose(0, 3, 1, 2), lt.numpy(), atol=3e-4
+        )
+    means_j = [l[..., : l.shape[-1] // 2] for l in levels_j]
+    decoded_j = MultiresDecoder(cfg).apply(
+        {"params": dec_params, "batch_stats": dec_stats}, means_j, train=False
+    )
+    np.testing.assert_allclose(
+        np.asarray(decoded_j).transpose(0, 3, 1, 2), decoded_t, atol=3e-4
+    )

@@ -294,3 +294,156 @@ def convert_multires_decoder(
             )
     params["final_conv"] = _conv(state, f"{p}final_convolutions.1", bias=True)
     return params, stats
+
+
+def convert_skybox_nerf(
+    state: Mapping[str, np.ndarray],
+    prefix: str = "",
+    backbone_layers_count: int = 8,
+) -> Tuple[Dict, Dict]:
+    """SkyboxAdaInStyleNerfModelV3 state_dict -> models.nerf.SkyboxNerfMLP:
+    the AdaIn layout (skybox_adain_style_nerf_model_v3.py:45-64) without the
+    alpha head (alpha is forced fully opaque)."""
+    p = prefix
+    params: Dict = {}
+    batch_stats: Dict = {}
+    for i in range(backbone_layers_count):
+        params[f"backbone_{i}"] = _linear(state, f"{p}backbone_layers.{i}")
+    head = f"{p}features_head"
+    params["feat_0"] = _linear(state, f"{head}.0", bias=False)
+    params["feat_1"] = _linear(state, f"{head}.3", bias=False)
+    params["feat_out"] = _linear(state, f"{head}.6")
+    for flax_name, torch_idx in (("adain_0", 1), ("adain_1", 4)):
+        params[flax_name] = {
+            "affine": _linear(state, f"{head}.{torch_idx}.affine_transform")
+        }
+        batch_stats[flax_name] = {
+            "norm": {
+                "mean": np.asarray(
+                    state[f"{head}.{torch_idx}.ada_in.normalization.running_mean"]
+                ),
+                "var": np.asarray(
+                    state[f"{head}.{torch_idx}.ada_in.normalization.running_var"]
+                ),
+            }
+        }
+    return params, batch_stats
+
+
+def convert_object_parameters_encoder_v4(
+    state: Mapping[str, np.ndarray], prefix: str = ""
+) -> Tuple[Dict, Dict]:
+    """ObjectParametersEncoderV4 state_dict ->
+    models.parameter_encoders.ObjectParametersEncoderV4 (same CNN widths by
+    construction; object_parameters_encoder_v4.py:47-66)."""
+    p = prefix
+    params: Dict = {"conv1": _conv(state, f"{p}conv1")}
+    stats: Dict = {}
+    params["bn1"], stats["bn1"] = _batchnorm(state, f"{p}bn1")
+    for i in range(2):
+        params[f"initial_{i}"], stats[f"initial_{i}"] = convert_residual_block(
+            state, f"{p}initial_backbone.{i}"
+        )
+    for i in range(6):
+        params[f"final_{i}"], stats[f"final_{i}"] = convert_residual_block(
+            state, f"{p}final_backbone.{i}"
+        )
+    params["rotation_head"] = _linear(state, f"{p}rotation_head")
+    return params, stats
+
+
+def convert_camera_offsets(
+    state: Mapping[str, np.ndarray],
+    memory_size: int,
+    cameras_count: int,
+    prefix: str = "camera_parameters_offsets.",
+) -> Dict:
+    """CameraParametersStorage (IndexedStorage nn.ParameterList; one (7,) row
+    per (camera, frame), camera-major: row = camera * memory + frame,
+    camera_parameters_storage.py:44-47) -> our dense (memory, cameras, 7)
+    table."""
+    rows = [
+        np.asarray(state[f"{prefix}storage.storage.{j}"])
+        for j in range(memory_size * cameras_count)
+    ]
+    table = np.stack(rows).reshape(cameras_count, memory_size, 7)
+    return {"storage": np.ascontiguousarray(table.transpose(1, 0, 2))}
+
+
+def convert_environment_model(
+    state: Mapping[str, np.ndarray], scene, cameras_count: int = 1
+) -> Tuple[Dict, Dict]:
+    """Full phase-2 EnvironmentModel state_dict -> (params, batch_stats) for
+    render.environment_model.EnvironmentModel.
+
+    Reference submodule prefixes (environment_model.py:39-59 +
+    environment_model_backpropagated_autoencoder.py:31):
+      object_composer.object_models_coarse.{i}.{nerf_model,ray_bender}
+      object_parameters_encoders.{i}   object_encoders.{i}
+      camera_parameters_offsets        autoencoder_model.{encoder,decoder}
+
+    :param scene: config.SceneConfig describing the checkpoint's architecture.
+    :return: (params, batch_stats) trees matching EnvironmentModel.init's.
+    """
+    params: Dict = {"composer": {}}
+    stats: Dict = {"composer": {}}
+
+    for i, om in enumerate(scene.object_models):
+        prefix = f"object_composer.object_models_coarse.{i}."
+        entry_p: Dict = {}
+        entry_s: Dict = {}
+        if om.nerf.kind == "skybox":
+            entry_p["nerf"], entry_s["nerf"] = convert_skybox_nerf(
+                state, prefix + "nerf_model.", om.nerf.backbone_layers_count
+            )
+        else:
+            entry_p["nerf"], entry_s["nerf"] = convert_adain_nerf(
+                state, prefix + "nerf_model.", om.nerf.backbone_layers_count
+            )
+        if om.bender.kind == "positional":
+            entry_p["ray_bender"] = convert_positional_ray_bender(
+                state, prefix + "ray_bender.", om.bender.layers_count
+            )
+        params["composer"][f"object_model_{i}"] = entry_p
+        stats["composer"][f"object_model_{i}"] = entry_s
+
+    for i, oe in enumerate(scene.object_encoders):
+        convert = (
+            convert_object_encoder_v4 if oe.kind == "v4" else convert_object_encoder_v5
+        )
+        (params[f"object_encoder_{i}"], stats[f"object_encoder_{i}"]) = convert(
+            state, f"object_encoders.{i}."
+        )
+
+    for i, pe in enumerate(scene.parameter_encoders):
+        if pe.kind == "learned_v4":
+            (params[f"parameters_encoder_{i}"],
+             stats[f"parameters_encoder_{i}"]) = convert_object_parameters_encoder_v4(
+                state, f"object_parameters_encoders.{i}."
+            )
+
+    row_keys = [
+        k for k in state
+        if k.startswith("camera_parameters_offsets.storage.storage.")
+    ]
+    if row_keys:
+        memory_size = len(row_keys) // cameras_count
+        params["camera_offsets"] = convert_camera_offsets(
+            state, memory_size, cameras_count
+        )
+
+    if scene.autoencoder is not None and any(
+        k.startswith("autoencoder_model.") for k in state
+    ):
+        ds = tuple(scene.autoencoder.downsampling_layers_count)
+        bb = scene.autoencoder.bottleneck_blocks
+        enc_p, enc_s = convert_multires_encoder(
+            state, ds, bb, prefix="autoencoder_model.encoder."
+        )
+        dec_p, dec_s = convert_multires_decoder(
+            state, ds, bb, prefix="autoencoder_model.decoder."
+        )
+        params["autoencoder"] = {"encoder": enc_p, "decoder": dec_p}
+        stats["autoencoder"] = {"encoder": enc_s, "decoder": dec_s}
+
+    return params, stats

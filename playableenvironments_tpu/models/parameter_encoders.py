@@ -175,14 +175,21 @@ class ObjectParametersEncoderV4(nn.Module):
         flat_images = jnp.repeat(observations, objects_count, axis=0)
         crops = crop_and_resize(flat_images, flat_boxes, (in_h, in_w))
 
-        x = nn.Conv(16, (3, 3), use_bias=False, name="conv1")(crops)
+        # Reference CNN widths (object_parameters_encoder_v4.py:47-66) so
+        # reference checkpoints convert 1:1 (compat.torch_import).
+        x = nn.Conv(
+            64, (7, 7), strides=(2, 2), padding=3, use_bias=False, name="conv1"
+        )(crops)
         x = nn.BatchNorm(use_running_average=not train, name="bn1")(x)
         x = nn.leaky_relu(x, 0.2)
-        x = ResidualBlock(16, downsample_factor=2, name="initial_0")(x, train)
-        x = ResidualBlock(32, downsample_factor=2, name="final_0")(x, train)
-        x = ResidualBlock(32, downsample_factor=1, name="final_1")(x, train)
-        x = ResidualBlock(64, downsample_factor=2, name="final_2")(x, train)
-        x = ResidualBlock(64, downsample_factor=1, name="final_3")(x, train)
+        x = ResidualBlock(64, downsample_factor=2, name="initial_0")(x, train)
+        x = ResidualBlock(64, downsample_factor=1, name="initial_1")(x, train)
+        x = ResidualBlock(128, downsample_factor=2, name="final_0")(x, train)
+        x = ResidualBlock(128, downsample_factor=1, name="final_1")(x, train)
+        x = ResidualBlock(256, downsample_factor=2, name="final_2")(x, train)
+        x = ResidualBlock(256, downsample_factor=1, name="final_3")(x, train)
+        x = ResidualBlock(512, downsample_factor=2, name="final_4")(x, train)
+        x = ResidualBlock(512, downsample_factor=1, name="final_5")(x, train)
         pooled = jnp.mean(x, axis=(1, 2))
 
         # tanh * 1.4 keeps the cardinal rotations out of saturation

@@ -415,3 +415,186 @@ def test_autoencoder_v8_checkpoint_parity(rng):
     np.testing.assert_allclose(
         np.asarray(decoded_j).transpose(0, 3, 1, 2), decoded_t, atol=3e-4
     )
+
+
+def test_convert_environment_model_end_to_end(rng):
+    """Compose a reference-layout phase-2 state_dict (submodules individually
+    parity-tested above), convert it with convert_environment_model, and
+    require (a) the tree matches EnvironmentModel.init's structure and shapes
+    exactly and (b) the model runs with the converted weights."""
+    import torch
+    import torch.nn as nn
+    from model.layers.residual_block import ResidualBlock as TorchResidualBlock
+    from model.nerf_models.adain_style_nerf_model import AdaInStyleNerfModel
+    from model.nerf_models.positional_ray_bender_model import (
+        PositionalRayBender as PositionalRayBenderModel,
+    )
+
+    from playableenvironments_tpu.compat.torch_import import (
+        convert_environment_model,
+    )
+    from playableenvironments_tpu.config import (
+        NerfMLPConfig,
+        ObjectEncoderConfig,
+        ObjectModelConfig,
+        ParameterEncoderConfig,
+        PositionalEncoderConfig,
+        RayBenderConfig,
+        SceneConfig,
+    )
+    from playableenvironments_tpu.render.environment_model import EnvironmentModel
+
+    style_features, deformation_features = 16, 8
+    nerf_cfg = dict(
+        layers_width=64, backbone_layers_count=4, output_features=3,
+        skip_layer_idx=2,
+        position_encoder=PositionalEncoderConfig(octaves=4),
+    )
+
+    def object_model(name, bender_kind):
+        return ObjectModelConfig(
+            name=name, bounding_box=BOX, positions_count_coarse=4,
+            z_near_min=0.1, z_far_max=50.0,
+            nerf=NerfMLPConfig(**nerf_cfg),
+            bender=(
+                RayBenderConfig(kind="positional", layers_width=32,
+                                layers_count=3, skip_layer_idx=1,
+                                position_encoder=PositionalEncoderConfig(octaves=4))
+                if bender_kind == "positional" else RayBenderConfig(kind="zeroed")
+            ),
+            style_features=style_features,
+            deformation_features=deformation_features,
+        )
+
+    scene = SceneConfig(
+        object_models=(object_model("bg", "zeroed"), object_model("pl", "positional")),
+        parameter_encoders=(
+            ParameterEncoderConfig(kind="static", objects_count=1),
+            ParameterEncoderConfig(
+                kind="classic", objects_count=1,
+                translation_range=(((-5.0, 5.0), (-5.0, 5.0), (0.01, 0.01)),),
+                rotation_range=(((0.0, 0.0),) * 3,),
+            ),
+        ),
+        object_encoders=(
+            ObjectEncoderConfig(kind="v5", input_size=(32, 32),
+                                style_features=style_features,
+                                deformation_features=deformation_features),
+            ObjectEncoderConfig(kind="v4", input_size=(16, 16),
+                                style_features=style_features,
+                                deformation_features=deformation_features),
+        ),
+        static_object_models=1,
+        apply_activation=True,
+        sampling_weights=(0.5, 0.5),
+    )
+
+    # --- assemble a reference-layout state dict --------------------------
+    torch.manual_seed(0)
+    state = {}
+
+    def add(prefix, module):
+        for k, v in module.state_dict().items():
+            state[f"{prefix}.{k}"] = v.detach().numpy()
+
+    nerf_model_config = {
+        "layers_width": 64, "backbone_layers_count": 4, "output_features": 3,
+        "skip_layer_idx": 2, "style_features": style_features,
+        "empty_space_alpha": -3.5,
+        "position_encoder": {"octaves": 4, "append_original": True},
+        "bounding_box": BOX,
+    }
+    bender_model_config = {
+        "layers_width": 32, "layers_count": 3, "skip_layer_idx": 1,
+        "deformation_features": deformation_features,
+        "position_encoder": {"octaves": 4, "append_original": True,
+                             "num_steps": 1000},
+        "bounding_box": BOX,
+    }
+    for i in range(2):
+        add(f"object_composer.object_models_coarse.{i}.nerf_model",
+            AdaInStyleNerfModel({}, nerf_model_config))
+    add("object_composer.object_models_coarse.1.ray_bender",
+        PositionalRayBenderModel({}, bender_model_config))
+
+    class TorchEncoderV5(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv1 = nn.Conv2d(3, 64, 7, stride=2, padding=3, bias=False)
+            self.bn1 = nn.BatchNorm2d(64)
+            self.initial_backbone = nn.Sequential(
+                TorchResidualBlock(64, 64, downsample_factor=2),
+                TorchResidualBlock(64, 64, downsample_factor=1))
+            self.final_backbone = nn.Sequential(
+                TorchResidualBlock(64, 128, downsample_factor=2),
+                TorchResidualBlock(128, 128, downsample_factor=1),
+                TorchResidualBlock(128, 256, downsample_factor=2),
+                TorchResidualBlock(256, 256, downsample_factor=1),
+                TorchResidualBlock(256, 512, downsample_factor=2),
+                TorchResidualBlock(512, 512, downsample_factor=1))
+            self.style_head = nn.Linear(512, style_features)
+            self.deformation_head = nn.Linear(512, deformation_features)
+
+    class TorchEncoderV4(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv1 = nn.Conv2d(9, 16, 3, stride=1, padding=1, bias=False)
+            self.bn1 = nn.BatchNorm2d(16)
+            self.initial_backbone = nn.Sequential(
+                TorchResidualBlock(16, 17, downsample_factor=1,
+                                   drop_final_activation=True))
+            self.final_backbone = nn.Sequential(
+                TorchResidualBlock(16, 32, downsample_factor=2),
+                TorchResidualBlock(32, 32, downsample_factor=1),
+                TorchResidualBlock(32, 64, downsample_factor=2),
+                TorchResidualBlock(64, 64, downsample_factor=1))
+            self.style_head = nn.Linear(64, style_features)
+            self.deformation_head = nn.Linear(64, deformation_features)
+
+    add("object_encoders.0", TorchEncoderV5())
+    add("object_encoders.1", TorchEncoderV4())
+
+    memory_size = 5
+    for j in range(memory_size):
+        state[f"camera_parameters_offsets.storage.storage.{j}"] = (
+            np.float32(rng.standard_normal(7) * 0.01)
+        )
+
+    params, batch_stats = convert_environment_model(state, scene, cameras_count=1)
+
+    # --- structure/shape equality with a fresh init ----------------------
+    model = EnvironmentModel(scene, focal_length_multiplier=1.0,
+                             enable_camera_offsets=True,
+                             camera_memory_size=memory_size,
+                             training_cameras_count=1)
+    observations = jnp.full((1, 2, 1, 16, 24, 3), 0.5)
+    cam_rot = jnp.zeros((1, 2, 1, 3)).at[..., 0].set(-0.5)
+    cam_trans = jnp.zeros((1, 2, 1, 3)).at[..., 1].set(6.0).at[..., 2].set(6.0)
+    focals = jnp.full((1, 2, 1), 30.0)
+    boxes = jnp.broadcast_to(jnp.asarray([0.4, 0.3, 0.6, 0.7]), (1, 2, 1, 1, 4))
+    validity = jnp.ones((1, 2, 1, 1), bool)
+    frames = jnp.zeros((1, 2), jnp.int32)
+    rngs = {k: jax.random.PRNGKey(i) for i, k in enumerate(
+        ("params", "ray_sampling", "sampling", "alpha_noise", "style_shuffle"))}
+    init_vars = jax.jit(
+        lambda r: model.init(r, observations, cam_rot, cam_trans, focals,
+                             boxes, validity, frames, samples_per_image=8)
+    )(rngs)
+
+    def shapes(tree):
+        return jax.tree.map(lambda x: jnp.shape(x), tree)
+
+    assert shapes(init_vars["params"]) == shapes(params)
+    converted_stats_shapes = shapes(batch_stats)
+    init_stats_shapes = shapes(init_vars["batch_stats"])
+    assert init_stats_shapes == converted_stats_shapes
+
+    out, _ = model.apply(
+        {"params": params, "batch_stats": batch_stats},
+        observations, cam_rot, cam_trans, focals, boxes, validity, frames,
+        samples_per_image=8, train=False,
+        rngs={k: v for k, v in rngs.items() if k != "params"},
+        mutable=["batch_stats"],
+    )
+    feats = out["coarse"]["global"]["integrated_features"]
+    assert np.all(np.isfinite(np.asarray(feats)))

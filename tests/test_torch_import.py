@@ -5,6 +5,7 @@ This is the BASELINE.md bit-compatibility north star: a user's reference
 checkpoints load into this framework and reproduce the reference's numbers.
 """
 
+import os
 import sys
 
 import numpy as np
@@ -20,6 +21,7 @@ from playableenvironments_tpu.compat.torch_import import (
 )
 
 REFERENCE = "/root/reference"
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def _reference_importable():
@@ -598,3 +600,130 @@ def test_convert_environment_model_end_to_end(rng):
     )
     feats = out["coarse"]["global"]["integrated_features"]
     assert np.all(np.isfinite(np.asarray(feats)))
+
+
+def test_import_checkpoint_cli_and_generate(tmp_path, rng):
+    """Save a reference-layout torch checkpoint for the smoke config's scene,
+    import it through cli.import_checkpoint, and render the test split from
+    the imported checkpoint via cli.generate_reconstructed_dataset."""
+    import sys as _sys
+
+    import torch
+    import torch.nn as nn
+    import yaml
+    from model.layers.residual_block import ResidualBlock as TorchResidualBlock
+    from model.nerf_models.adain_style_nerf_model import AdaInStyleNerfModel
+    from model.nerf_models.positional_ray_bender_model import (
+        PositionalRayBender as PositionalRayBenderModel,
+    )
+
+    from playableenvironments_tpu.data.synthetic import make_synthetic_dataset
+
+    root = str(tmp_path)
+    data_root = os.path.join(root, "data")
+    make_synthetic_dataset(data_root, videos=1, frames=6, height=16, width=24)
+
+    cfg = yaml.safe_load(open(os.path.join(REPO, "configs", "synthetic_smoke.yaml")))
+    cfg["data"]["data_root"] = data_root
+    cfg["logging"]["output_root"] = os.path.join(root, "results")
+    cfg["logging"]["checkpoints_root"] = os.path.join(root, "checkpoints")
+    config_path = os.path.join(root, "cfg.yaml")
+    yaml.safe_dump(cfg, open(config_path, "w"))
+
+    # --- reference-layout state dict for the smoke scene ------------------
+    torch.manual_seed(0)
+    state = {}
+
+    def add(prefix, module):
+        for k, v in module.state_dict().items():
+            state[f"{prefix}.{k}"] = v
+
+    def nerf_cfg(box):
+        return {
+            "layers_width": 32, "backbone_layers_count": 3,
+            "output_features": 3, "skip_layer_idx": 1, "style_features": 8,
+            "empty_space_alpha": -3.5,
+            "position_encoder": {"octaves": 4, "append_original": True},
+            "bounding_box": box,
+        }
+
+    bg_box = ((-12.0, 12.0), (-12.0, 12.0), (-0.5, 0.0))
+    pl_box = ((-0.6, 0.6), (-0.6, 0.6), (0.0, 2.0))
+    add("object_composer.object_models_coarse.0.nerf_model",
+        AdaInStyleNerfModel({}, nerf_cfg(bg_box)))
+    add("object_composer.object_models_coarse.1.nerf_model",
+        AdaInStyleNerfModel({}, nerf_cfg(pl_box)))
+    add("object_composer.object_models_coarse.1.ray_bender",
+        PositionalRayBenderModel({}, {
+            "layers_width": 16, "layers_count": 2, "skip_layer_idx": 1,
+            "deformation_features": 4,
+            "position_encoder": {"octaves": 2, "append_original": True,
+                                 "num_steps": 500},
+            "bounding_box": pl_box,
+        }))
+
+    class TorchEncoderV5(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv1 = nn.Conv2d(3, 64, 7, stride=2, padding=3, bias=False)
+            self.bn1 = nn.BatchNorm2d(64)
+            self.initial_backbone = nn.Sequential(
+                TorchResidualBlock(64, 64, downsample_factor=2),
+                TorchResidualBlock(64, 64, downsample_factor=1))
+            self.final_backbone = nn.Sequential(
+                TorchResidualBlock(64, 128, downsample_factor=2),
+                TorchResidualBlock(128, 128, downsample_factor=1),
+                TorchResidualBlock(128, 256, downsample_factor=2),
+                TorchResidualBlock(256, 256, downsample_factor=1),
+                TorchResidualBlock(256, 512, downsample_factor=2),
+                TorchResidualBlock(512, 512, downsample_factor=1))
+            self.style_head = nn.Linear(512, 8)
+            self.deformation_head = nn.Linear(512, 4)
+
+    class TorchEncoderV4(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv1 = nn.Conv2d(9, 16, 3, stride=1, padding=1, bias=False)
+            self.bn1 = nn.BatchNorm2d(16)
+            self.initial_backbone = nn.Sequential(
+                TorchResidualBlock(16, 17, downsample_factor=1,
+                                   drop_final_activation=True))
+            self.final_backbone = nn.Sequential(
+                TorchResidualBlock(16, 32, downsample_factor=2),
+                TorchResidualBlock(32, 32, downsample_factor=1),
+                TorchResidualBlock(32, 64, downsample_factor=2),
+                TorchResidualBlock(64, 64, downsample_factor=1))
+            self.style_head = nn.Linear(64, 8)
+            self.deformation_head = nn.Linear(64, 4)
+
+    add("object_encoders.0", TorchEncoderV5())
+    add("object_encoders.1", TorchEncoderV4())
+
+    torch_path = os.path.join(root, "reference_checkpoint.pth.tar")
+    torch.save({"model": state, "step": 12345}, torch_path)
+
+    def run_cli(module, *args):
+        import importlib
+
+        argv = _sys.argv
+        _sys.argv = [module] + list(args)
+        try:
+            importlib.import_module(module).main()
+        finally:
+            _sys.argv = argv
+
+    imported_dir = os.path.join(root, "imported")
+    run_cli("playableenvironments_tpu.cli.import_checkpoint",
+            "--config", config_path, "--torch_checkpoint", torch_path,
+            "--output", imported_dir)
+
+    from playableenvironments_tpu.train.checkpointing import latest_checkpoint
+
+    ckpt = latest_checkpoint(imported_dir)
+    assert ckpt is not None
+
+    out = os.path.join(root, "reconstructed")
+    run_cli("playableenvironments_tpu.cli.generate_reconstructed_dataset",
+            "--config", config_path, "--checkpoint", ckpt, "--output", out,
+            "--batch_size", "2")
+    assert os.path.isdir(os.path.join(out, "00000", "00000"))

@@ -447,3 +447,143 @@ def convert_environment_model(
         stats["autoencoder"] = {"encoder": enc_s, "decoder": dec_s}
 
     return params, stats
+
+
+# ---------------------------------------------------------------------------
+# Phase-3 (playable / action) modules
+# ---------------------------------------------------------------------------
+
+
+def convert_lstm_cell(
+    state: Mapping[str, np.ndarray], prefix: str
+) -> Dict[str, Dict[str, np.ndarray]]:
+    """torch nn.LSTMCell -> flax nn.OptimizedLSTMCell params.
+
+    torch packs gates row-wise in (i, f, g, o) order into weight_ih (4H, In) /
+    weight_hh (4H, H) with two bias vectors; flax keeps per-gate Dense modules
+    ii/if/ig/io (input, no bias) and hi/hf/hg/ho (hidden, bias). Gate
+    activations agree (sigmoid i/f/o, tanh g), so the mapping is a slice +
+    transpose, with the two torch biases summed onto the hidden side.
+    """
+    p = prefix + "." if prefix else ""
+    w_ih = np.asarray(state[f"{p}weight_ih"])
+    w_hh = np.asarray(state[f"{p}weight_hh"])
+    b = np.asarray(state[f"{p}bias_ih"]) + np.asarray(state[f"{p}bias_hh"])
+    hidden = w_hh.shape[1]
+    params: Dict = {}
+    for gate_idx, gate in enumerate("ifgo"):
+        sl = slice(gate_idx * hidden, (gate_idx + 1) * hidden)
+        params[f"i{gate}"] = {"kernel": np.ascontiguousarray(w_ih[sl].T)}
+        params[f"h{gate}"] = {
+            "kernel": np.ascontiguousarray(w_hh[sl].T),
+            "bias": np.ascontiguousarray(b[sl]),
+        }
+    return params
+
+
+def convert_dynamics_network(
+    state: Mapping[str, np.ndarray], prefix: str = "", cells_count: int = 1
+) -> Dict:
+    """DynamicsNetworkV9/V4 state_dict -> models.dynamics.DynamicsNetwork.
+
+    Reference layout (dynamics_network_v9.py:48-74): all_cells.{i} LSTMCells,
+    all_initial_hidden_[cell_]states.{i}, mlp_backbone.0 Linear, mlp_heads
+    [rotation(6), translation(3), style, deformation].
+    """
+    p = prefix
+    params: Dict = {}
+    for i in range(cells_count):
+        params[f"lstm_{i}"] = convert_lstm_cell(state, f"{p}all_cells.{i}")
+        params[f"initial_hidden_{i}"] = np.asarray(
+            state[f"{p}all_initial_hidden_states.{i}"]
+        ).reshape(-1)
+        params[f"initial_cell_{i}"] = np.asarray(
+            state[f"{p}all_initial_hidden_cell_states.{i}"]
+        ).reshape(-1)
+    params["backbone"] = _linear(state, f"{p}mlp_backbone.0")
+    for head_idx, head in enumerate(
+        ("rotation_head", "translation_head", "style_head", "deformation_head")
+    ):
+        params[head] = _linear(state, f"{p}mlp_heads.{head_idx}")
+    return params
+
+
+def convert_action_network(
+    state: Mapping[str, np.ndarray], prefix: str = "", layers_count: int = 3
+) -> Tuple[Dict, Dict]:
+    """ActionNetworkV5 state_dict -> models.action.ActionNetwork.
+
+    Reference layout (action_network_v5.py:51-65): mlp_backbone =
+    MaskedSequential of [Linear, MaskedBatchNorm1d, ReLU] x layers (indices
+    3k / 3k+1), then mean_fc / log_variance_fc / final_fc. The reference
+    tracks a running STD; our MaskedBatchNorm stores variance (std^2).
+    """
+    p = prefix
+    params: Dict = {}
+    stats: Dict = {}
+    for i in range(layers_count):
+        params[f"mlp_{i}"] = _linear(state, f"{p}mlp_backbone.{3 * i}")
+        bn = f"{p}mlp_backbone.{3 * i + 1}"
+        params[f"bn_{i}"] = {
+            "scale": np.asarray(state[f"{bn}.gamma"]),
+            "bias": np.asarray(state[f"{bn}.beta"]),
+        }
+        std = np.asarray(state[f"{bn}.running_std"])
+        stats[f"bn_{i}"] = {
+            "mean": np.asarray(state[f"{bn}.running_mean"]),
+            "var": std * std,
+        }
+    params["mean_fc"] = _linear(state, f"{p}mean_fc")
+    params["log_variance_fc"] = _linear(state, f"{p}log_variance_fc")
+    params["final_fc"] = _linear(state, f"{p}final_fc")
+    return params, stats
+
+
+def convert_animation_model(
+    state: Mapping[str, np.ndarray],
+    prefix: str = "",
+    cells_count: int = 1,
+    action_layers_count: int = 3,
+) -> Tuple[Dict, Dict, np.ndarray]:
+    """ObjectAnimationModel state_dict -> (params, batch_stats, centroids) for
+    models.action.ObjectAnimationModel (+ the EMA centroids that live in the
+    trainer's extra state here, centroid_estimator.py:28)."""
+    p = prefix
+    action_p, action_s = convert_action_network(
+        state, f"{p}action_network.", action_layers_count
+    )
+    params = {
+        "action_network": action_p,
+        "dynamics_network": convert_dynamics_network(
+            state, f"{p}dynamics_network.", cells_count
+        ),
+    }
+    stats = {"action_network": action_s}
+    centroids = np.asarray(state[f"{p}centroid_estimator.estimated_centroids"])
+    return params, stats, centroids
+
+
+def convert_playable_model(
+    state: Mapping[str, np.ndarray], animation_configs
+) -> Tuple[Dict, Dict, list]:
+    """Phase-3 PlayableEnvironmentModel state_dict -> (params, batch_stats,
+    per-object centroids) for render.playable_model.PlayableEnvironmentModel.
+
+    Reference layout (playable_environment_model.py:28-31): the frozen
+    environment model under `environment_model.` (convert separately with
+    convert_environment_model on the phase-2 config) and
+    `object_animation_models.{i}.` per dynamic object.
+    """
+    params: Dict = {}
+    stats: Dict = {}
+    centroids = []
+    for i, cfg in enumerate(animation_configs):
+        cells = getattr(getattr(cfg, "dynamics", None), "layers_count", 1)
+        layers = getattr(getattr(cfg, "action_network", None), "layers_count", 3)
+        p, s, c = convert_animation_model(
+            state, f"object_animation_models.{i}.", cells, layers
+        )
+        params[f"animation_model_{i}"] = p
+        stats[f"animation_model_{i}"] = s
+        centroids.append(c)
+    return params, stats, centroids

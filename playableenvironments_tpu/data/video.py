@@ -48,13 +48,18 @@ def _register_compat_modules():
     if "utils.lib_3d.pose_parameters" in sys.modules:
         return
     utils_mod = sys.modules.setdefault("utils", types.ModuleType("utils"))
-    lib3d_mod = types.ModuleType("utils.lib_3d")
+    # Cooperate with an importable reference checkout (tests import both):
+    # reuse a real utils.lib_3d package instead of shadowing it, so its other
+    # submodules (transformations_3d, ...) stay importable.
+    lib3d_mod = sys.modules.get("utils.lib_3d")
+    if lib3d_mod is None:
+        lib3d_mod = types.ModuleType("utils.lib_3d")
+        sys.modules["utils.lib_3d"] = lib3d_mod
+        utils_mod.lib_3d = lib3d_mod
     pose_mod = types.ModuleType("utils.lib_3d.pose_parameters")
     pose_mod.PoseParametersNumpy = PoseParametersNumpy
     pose_mod.PoseParameters = PoseParametersNumpy
-    utils_mod.lib_3d = lib3d_mod
     lib3d_mod.pose_parameters = pose_mod
-    sys.modules["utils.lib_3d"] = lib3d_mod
     sys.modules["utils.lib_3d.pose_parameters"] = pose_mod
 
 

@@ -69,8 +69,11 @@ class ActionNetwork(nn.Module):
             x = nn.Dense(
                 self.cfg.action_network.layers_width, name=f"mlp_{layer_idx}"
             )(x)
+            # affine=True like the reference's MaskedBatchNorm1d default
+            # (masked_batch_norm.py:27, action_network_v5.py:55).
             x = MaskedBatchNorm(
-                self.cfg.action_network.layers_width, name=f"bn_{layer_idx}"
+                self.cfg.action_network.layers_width, use_scale_bias=True,
+                name=f"bn_{layer_idx}",
             )(x, object_in_scene, use_running_average)
             x = nn.relu(x)
 

@@ -727,3 +727,171 @@ def test_import_checkpoint_cli_and_generate(tmp_path, rng):
             "--config", config_path, "--checkpoint", ckpt, "--output", out,
             "--batch_size", "2")
     assert os.path.isdir(os.path.join(out, "00000", "00000"))
+
+
+def test_lstm_cell_conversion_parity(rng):
+    import torch
+
+    from playableenvironments_tpu.compat.torch_import import convert_lstm_cell
+
+    import flax.linen as fnn
+
+    torch.manual_seed(3)
+    in_features, hidden = 11, 8
+    cell_t = torch.nn.LSTMCell(in_features, hidden)
+    x = torch.randn(4, in_features)
+    h0 = torch.randn(4, hidden)
+    c0 = torch.randn(4, hidden)
+    with torch.no_grad():
+        h1, c1 = cell_t(x, (h0, c0))
+
+    params = convert_lstm_cell(
+        {k: v.detach().numpy() for k, v in cell_t.state_dict().items()}, ""
+    )
+    cell_j = fnn.OptimizedLSTMCell(hidden)
+    (c1_j, h1_j), y = cell_j.apply(
+        {"params": params},
+        (jnp.asarray(c0.numpy()), jnp.asarray(h0.numpy())),
+        jnp.asarray(x.numpy()),
+    )
+    np.testing.assert_allclose(np.asarray(h1_j), h1.numpy(), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(c1_j), c1.numpy(), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(y), h1.numpy(), atol=1e-5)
+
+
+def test_dynamics_network_checkpoint_parity(rng):
+    import torch
+    from model.dynamics_network_v9 import DynamicsNetworkV9
+
+    from playableenvironments_tpu.compat.torch_import import (
+        convert_dynamics_network,
+    )
+    from playableenvironments_tpu.config import (
+        AnimationModelConfig,
+        DynamicsNetworkConfig,
+    )
+    from playableenvironments_tpu.models.dynamics import DynamicsNetwork
+
+    torch.manual_seed(1)
+    style_features, deformation_features = 6, 4
+    actions, dims, hidden = 5, 3, 16
+    model_config = {
+        "style_features": style_features,
+        "deformation_features": deformation_features,
+        "actions_count": actions, "action_space_dimension": dims,
+        "rotation_axis": 2, "force_rotation_axis_translations": None,
+        "force_rotations_zero": False, "bounding_box": BOX,
+        "output_features": hidden, "cells_count": 2,
+    }
+    torch_model = DynamicsNetworkV9({}, model_config).eval()
+
+    bs = 4
+    rot = torch.rand(bs, 3) * 0.5
+    trans = torch.rand(bs, 3)
+    style = torch.rand(bs, style_features)
+    deform = torch.rand(bs, deformation_features)
+    action = torch.nn.functional.one_hot(
+        torch.arange(bs) % actions, actions
+    ).float()
+    variation = torch.rand(bs, dims)
+    with torch.no_grad():
+        torch_model.reinit_memory()
+        rot_t, trans_t, style_t, deform_t = torch_model(
+            rot, trans, style, deform, action, variation
+        )
+
+    params = convert_dynamics_network(
+        {k: v.detach().numpy() for k, v in torch_model.state_dict().items()},
+        "", cells_count=2,
+    )
+    cfg = AnimationModelConfig(
+        actions_count=actions, action_space_dimension=dims,
+        style_features=style_features, deformation_features=deformation_features,
+        dynamics=DynamicsNetworkConfig(
+            output_features=hidden, layers_count=2,
+            force_rotations_zero=False, force_z_translations_zero=False,
+            rotation_axis=2,
+        ),
+    )
+    net = DynamicsNetwork(cfg, BOX)
+    carry, (rot_j, trans_j, style_j, deform_j) = net.apply(
+        {"params": params},
+        None,
+        jnp.asarray(rot.numpy()), jnp.asarray(trans.numpy()),
+        jnp.asarray(style.numpy()), jnp.asarray(deform.numpy()),
+        jnp.asarray(action.numpy()), jnp.asarray(variation.numpy()),
+    )
+    np.testing.assert_allclose(np.asarray(rot_j), rot_t.numpy(), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(trans_j), trans_t.numpy(), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(style_j), style_t.numpy(), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(deform_j), deform_t.numpy(), atol=1e-4)
+
+
+def test_action_network_checkpoint_parity(rng):
+    import torch
+    from model.action_network_v5 import ActionNetworkV5
+
+    from playableenvironments_tpu.compat.torch_import import (
+        convert_action_network,
+    )
+    from playableenvironments_tpu.config import (
+        ActionNetworkConfig,
+        AnimationModelConfig,
+    )
+    from playableenvironments_tpu.models.action import ActionNetwork
+
+    torch.manual_seed(2)
+    actions, dims = 4, 3
+    model_config = {
+        "layers_width": 24, "layers_count": 2,
+        "actions_count": actions, "action_space_dimension": dims,
+        "use_deformation": False, "deformation_features": 0,
+        "style_features": 0, "bounding_box": BOX,
+    }
+    torch_model = ActionNetworkV5({}, model_config)
+    # The reference's sample() hard-codes .cuda() (action_network_v5.py:76);
+    # sampled outputs are not compared, so run it on CPU.
+    torch_model.sample = lambda mean, log_variance: (
+        torch.randn(mean.size()) * torch.exp(0.5 * log_variance) + mean
+    )
+    torch_model.sample_variance = lambda mean, variance: (
+        torch.randn(mean.size()) * torch.sqrt(variance) + mean
+    )
+
+    bs, t = 3, 5
+    rot = torch.rand(bs, t, 3) * 0.5
+    trans = torch.rand(bs, t, 3)
+    in_scene = torch.ones(bs, t, dtype=torch.bool)
+    # Warm running stats, then eval.
+    torch_model.train()
+    with torch.no_grad():
+        torch_model(rot, trans, in_scene)
+    torch_model.eval()
+    with torch.no_grad():
+        (logits_t, dir_dist_t, _, state_dist_t, _) = torch_model(
+            rot, trans, in_scene
+        )
+
+    params, stats = convert_action_network(
+        {k: v.detach().numpy() for k, v in torch_model.state_dict().items()},
+        "", layers_count=2,
+    )
+    cfg = AnimationModelConfig(
+        actions_count=actions, action_space_dimension=dims,
+        action_network=ActionNetworkConfig(layers_width=24, layers_count=2),
+    )
+    net = ActionNetwork(cfg, BOX, use_deformation=False)
+    out = net.apply(
+        {"params": params, "batch_stats": stats},
+        jnp.asarray(rot.numpy()), jnp.asarray(trans.numpy()), None,
+        jnp.asarray(in_scene.numpy()), jax.random.PRNGKey(0),
+        use_running_average=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["action_states_distribution"]),
+        state_dist_t.numpy(), atol=5e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["action_directions_distribution"]),
+        dir_dist_t.numpy(), atol=5e-4,
+    )

@@ -45,6 +45,13 @@ def main():
                         help="checkpoint directory (default: the config's "
                              "checkpoints root under 'imported')")
     parser.add_argument("--step", type=int, default=0)
+    parser.add_argument(
+        "--phase3", action="store_true",
+        help="the torch checkpoint is a phase-3 playable model (frozen "
+             "environment model under environment_model.*, animation models "
+             "under object_animation_models.*); writes BOTH an environment "
+             "and a playable checkpoint",
+    )
     args = parser.parse_args()
 
     import jax
@@ -66,8 +73,14 @@ def main():
 
     env_model = build_environment_model(cfg)
     cameras = cfg.get("training", {}).get("batching", {}).get("allowed_cameras")
+    env_state_dict = state_dict
+    if args.phase3:
+        from playableenvironments_tpu.compat.torch_import import split_state_dict
+
+        env_state_dict = split_state_dict(state_dict, "environment_model")
     params, batch_stats = convert_environment_model(
-        state_dict, env_model.scene, cameras_count=len(cameras) if cameras else 1
+        env_state_dict, env_model.scene,
+        cameras_count=len(cameras) if cameras else 1,
     )
 
     dataset = build_dataset(
@@ -93,8 +106,53 @@ def main():
 
         _, checkpoints_dir = output_dirs(cfg)
         output = os.path.join(checkpoints_dir, "imported")
-    path = checkpointing.save_checkpoint(output, state, step=args.step)
-    print(f"imported checkpoint written to {path}")
+
+    if not args.phase3:
+        path = checkpointing.save_checkpoint(output, state, step=args.step)
+        print(f"imported checkpoint written to {path}")
+        return
+
+    # Phase 3: additionally graft the animation modules + centroids onto a
+    # fresh playable TrainState over the (already converted) frozen
+    # environment model.
+    from playableenvironments_tpu.compat.torch_import import (
+        convert_playable_model,
+    )
+    from playableenvironments_tpu.render.playable_model import (
+        PlayableEnvironmentModel,
+    )
+    from playableenvironments_tpu.train.trainer_playable import (
+        PlayableTrainer,
+        PlayableTrainingConfig,
+    )
+
+    env_path = checkpointing.save_checkpoint(
+        os.path.join(output, "environment"), state, step=args.step
+    )
+    print(f"imported environment checkpoint written to {env_path}")
+
+    playable = PlayableEnvironmentModel(env_model.scene)
+    playable_trainer = PlayableTrainer(env_model, playable, PlayableTrainingConfig())
+    playable_state = playable_trainer.init_state(
+        jax.random.PRNGKey(0), batch, state.params, state.batch_stats
+    )
+    anim_params, anim_stats, centroids = convert_playable_model(
+        state_dict, env_model.scene.animation_models
+    )
+    merged_params = dict(playable_state.params)
+    merged_params.update(anim_params)
+    merged_stats = dict(playable_state.batch_stats)
+    for name, value in anim_stats.items():
+        merged_stats[name] = value
+    extra = dict(playable_state.extra)
+    extra["centroids"] = {str(i): c for i, c in enumerate(centroids)}
+    playable_state = playable_state.replace(
+        params=merged_params, batch_stats=merged_stats, extra=extra
+    )
+    playable_path = checkpointing.save_checkpoint(
+        os.path.join(output, "playable"), playable_state, step=args.step
+    )
+    print(f"imported playable checkpoint written to {playable_path}")
 
 
 if __name__ == "__main__":

@@ -895,3 +895,152 @@ def test_action_network_checkpoint_parity(rng):
         np.asarray(out["action_directions_distribution"]),
         dir_dist_t.numpy(), atol=5e-4,
     )
+
+
+def test_import_phase3_checkpoint_cli(tmp_path, rng):
+    """Phase-3 import: a reference-layout playable checkpoint (frozen env
+    model + animation model) converts into environment + playable orbax
+    checkpoints, which re-enact the test split via
+    generate_reconstructed_playability_dataset."""
+    import sys as _sys
+
+    import torch
+    import torch.nn as nn
+    import yaml
+    from model.dynamics_network_v9 import DynamicsNetworkV9
+    from model.layers.residual_block import ResidualBlock as TorchResidualBlock
+    from model.nerf_models.adain_style_nerf_model import AdaInStyleNerfModel
+    from model.nerf_models.positional_ray_bender_model import (
+        PositionalRayBender as PositionalRayBenderModel,
+    )
+    from model.action_network_v5 import ActionNetworkV5
+
+    from playableenvironments_tpu.data.synthetic import make_synthetic_dataset
+
+    root = str(tmp_path)
+    data_root = os.path.join(root, "data")
+    make_synthetic_dataset(data_root, videos=1, frames=8, height=16, width=24)
+
+    cfg = yaml.safe_load(open(os.path.join(REPO, "configs", "synthetic_smoke.yaml")))
+    cfg["data"]["data_root"] = data_root
+    cfg["logging"]["output_root"] = os.path.join(root, "results")
+    cfg["logging"]["checkpoints_root"] = os.path.join(root, "checkpoints")
+    config_path = os.path.join(root, "cfg.yaml")
+    yaml.safe_dump(cfg, open(config_path, "w"))
+
+    torch.manual_seed(0)
+    state = {}
+
+    def add(prefix, module):
+        for k, v in module.state_dict().items():
+            state[f"{prefix}.{k}"] = v
+
+    def nerf_cfg(box):
+        return {
+            "layers_width": 32, "backbone_layers_count": 3,
+            "output_features": 3, "skip_layer_idx": 1, "style_features": 8,
+            "empty_space_alpha": -3.5,
+            "position_encoder": {"octaves": 4, "append_original": True},
+            "bounding_box": box,
+        }
+
+    bg_box = ((-12.0, 12.0), (-12.0, 12.0), (-0.5, 0.0))
+    pl_box = ((-0.6, 0.6), (-0.6, 0.6), (0.0, 2.0))
+    env = "environment_model."
+    add(env + "object_composer.object_models_coarse.0.nerf_model",
+        AdaInStyleNerfModel({}, nerf_cfg(bg_box)))
+    add(env + "object_composer.object_models_coarse.1.nerf_model",
+        AdaInStyleNerfModel({}, nerf_cfg(pl_box)))
+    add(env + "object_composer.object_models_coarse.1.ray_bender",
+        PositionalRayBenderModel({}, {
+            "layers_width": 16, "layers_count": 2, "skip_layer_idx": 1,
+            "deformation_features": 4,
+            "position_encoder": {"octaves": 2, "append_original": True,
+                                 "num_steps": 500},
+            "bounding_box": pl_box,
+        }))
+
+    class TorchEncoderV5(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv1 = nn.Conv2d(3, 64, 7, stride=2, padding=3, bias=False)
+            self.bn1 = nn.BatchNorm2d(64)
+            self.initial_backbone = nn.Sequential(
+                TorchResidualBlock(64, 64, downsample_factor=2),
+                TorchResidualBlock(64, 64, downsample_factor=1))
+            self.final_backbone = nn.Sequential(
+                TorchResidualBlock(64, 128, downsample_factor=2),
+                TorchResidualBlock(128, 128, downsample_factor=1),
+                TorchResidualBlock(128, 256, downsample_factor=2),
+                TorchResidualBlock(256, 256, downsample_factor=1),
+                TorchResidualBlock(256, 512, downsample_factor=2),
+                TorchResidualBlock(512, 512, downsample_factor=1))
+            self.style_head = nn.Linear(512, 8)
+            self.deformation_head = nn.Linear(512, 4)
+
+    class TorchEncoderV4(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv1 = nn.Conv2d(9, 16, 3, stride=1, padding=1, bias=False)
+            self.bn1 = nn.BatchNorm2d(16)
+            self.initial_backbone = nn.Sequential(
+                TorchResidualBlock(16, 17, downsample_factor=1,
+                                   drop_final_activation=True))
+            self.final_backbone = nn.Sequential(
+                TorchResidualBlock(16, 32, downsample_factor=2),
+                TorchResidualBlock(32, 32, downsample_factor=1),
+                TorchResidualBlock(32, 64, downsample_factor=2),
+                TorchResidualBlock(64, 64, downsample_factor=1))
+            self.style_head = nn.Linear(64, 8)
+            self.deformation_head = nn.Linear(64, 4)
+
+    add(env + "object_encoders.0", TorchEncoderV5())
+    add(env + "object_encoders.1", TorchEncoderV4())
+
+    anim = "object_animation_models.0."
+    add(anim + "dynamics_network", DynamicsNetworkV9({}, {
+        "style_features": 8, "deformation_features": 4,
+        "actions_count": 4, "action_space_dimension": 3,
+        "rotation_axis": 2, "force_rotation_axis_translations": 0.01,
+        "force_rotations_zero": True, "bounding_box": pl_box,
+        "output_features": 16, "cells_count": 1,
+    }))
+    add(anim + "action_network", ActionNetworkV5({}, {
+        "layers_width": 16, "layers_count": 2,
+        "actions_count": 4, "action_space_dimension": 3,
+        "use_deformation": False, "deformation_features": 0,
+        "style_features": 0, "bounding_box": pl_box,
+    }))
+    state[anim + "centroid_estimator.estimated_centroids"] = torch.zeros(4, 3)
+
+    torch_path = os.path.join(root, "playable_checkpoint.pth.tar")
+    torch.save({"model": state}, torch_path)
+
+    def run_cli(module, *args):
+        import importlib
+
+        argv = _sys.argv
+        _sys.argv = [module] + list(args)
+        try:
+            importlib.import_module(module).main()
+        finally:
+            _sys.argv = argv
+
+    imported_dir = os.path.join(root, "imported")
+    run_cli("playableenvironments_tpu.cli.import_checkpoint",
+            "--config", config_path, "--torch_checkpoint", torch_path,
+            "--output", imported_dir, "--phase3")
+
+    from playableenvironments_tpu.train.checkpointing import latest_checkpoint
+
+    env_ckpt = latest_checkpoint(os.path.join(imported_dir, "environment"))
+    playable_ckpt = latest_checkpoint(os.path.join(imported_dir, "playable"))
+    assert env_ckpt is not None and playable_ckpt is not None
+
+    out = os.path.join(root, "playability")
+    run_cli(
+        "playableenvironments_tpu.cli.generate_reconstructed_playability_dataset",
+        "--config", config_path, "--environment_checkpoint", env_ckpt,
+        "--playable_checkpoint", playable_ckpt, "--output", out,
+    )
+    assert os.path.isdir(os.path.join(out, "00000", "00000"))

@@ -319,6 +319,54 @@ def bench_train_step():
     )
 
 
+def bench_phase1_step():
+    """Phase-1 (VAE feature renderer) training step at the published scale:
+    bs 20 @ 512x288, reconstruction + perceptual + spatial KL
+    (README.md:116, configs/*/autoencoder bs_20_res_512). bfloat16 convs.
+    vs_baseline is images/sec against an assumed ~2 steps/s reference on
+    RTX 8000 (300k steps ~= 40h, a typical VAE-at-this-scale rate)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from playableenvironments_tpu.config import AutoencoderConfig
+    from playableenvironments_tpu.train.trainer_autoencoder import (
+        AutoencoderTrainer,
+        AutoencoderTrainingConfig,
+    )
+
+    ae_cfg = AutoencoderConfig(compute_dtype="bfloat16")
+    trainer = AutoencoderTrainer(
+        ae_cfg,
+        AutoencoderTrainingConfig(perceptual_lambda=0.1, kl_lambda=5e-6),
+    )
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.random((20, 288, 512, 3), np.float32))
+    state = trainer.init_state(jax.random.PRNGKey(0), images)
+    step = jax.jit(trainer.train_step, donate_argnums=0)
+    state, metrics = step(state, images, jax.random.PRNGKey(1))
+    jax.block_until_ready(metrics["loss"])
+
+    iters = int(os.environ.get("BENCH_ITERS", 10))
+    start = time.perf_counter()
+    for i in range(iters):
+        state, metrics = step(state, images, jax.random.PRNGKey(2 + i))
+    jax.block_until_ready(metrics["loss"])
+    dt = (time.perf_counter() - start) / iters
+    print(
+        json.dumps(
+            {
+                "metric": "phase1_train_step_ms",
+                "value": round(dt * 1e3, 1),
+                "unit": "ms/step",
+                "vs_baseline": round((20 / dt) / (20 * 2.0), 2),
+            }
+        )
+    )
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -333,6 +381,8 @@ def main():
         return bench_interactive_fps()
     if os.environ.get("BENCH_MODE") == "train":
         return bench_train_step()
+    if os.environ.get("BENCH_MODE") == "phase1":
+        return bench_phase1_step()
 
     scene = build_scene()
     composer = SceneComposer(scene)

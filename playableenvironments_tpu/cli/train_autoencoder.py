@@ -49,6 +49,7 @@ def main():
         perceptual_lambda=float(
             t.get("loss_weights", {}).get("perceptual_loss_lambda", 0.0)
         ),
+        vgg_weights_path=str(t.get("vgg_weights_path", "")),
     )
     trainer = AutoencoderTrainer(scene.autoencoder, train_cfg)
 

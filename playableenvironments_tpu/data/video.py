@@ -63,8 +63,6 @@ def _register_compat_modules():
     sys.modules["utils.lib_3d.pose_parameters"] = pose_mod
 
 
-_register_compat_modules()
-
 _COMPAT_CLASSES = {
     ("utils.lib_3d.pose_parameters", "PoseParametersNumpy"): PoseParametersNumpy,
     ("utils.lib_3d.pose_parameters", "PoseParameters"): PoseParametersNumpy,
@@ -84,6 +82,10 @@ def _load_pickle(path: str):
 
 
 def _save_pickle(obj, path: str):
+    # Install the reference-path module shims lazily: pickle looks classes up
+    # by module path at DUMP time, and installing at import time would shadow
+    # an importable reference checkout (tests import both).
+    _register_compat_modules()
     with open(path, "wb") as f:
         pickle.dump(obj, f)
 

@@ -31,6 +31,9 @@ class AutoencoderTrainingConfig:
     reconstruction_lambda: float = 1.0
     perceptual_lambda: float = 0.0
     kl_lambda: float = 5e-6
+    # Optional torch VGG19 checkpoint for the perceptual term (zero-egress:
+    # default weights are randomly initialized but fixed — self-consistent).
+    vgg_weights_path: str = ""
 
 
 class AutoencoderTrainer:
@@ -39,6 +42,17 @@ class AutoencoderTrainer:
     def __init__(self, ae_cfg: AutoencoderConfig, cfg: AutoencoderTrainingConfig):
         self.model = MultiresAutoencoder(ae_cfg)
         self.cfg = cfg
+        self.vgg_variables = None
+        if cfg.perceptual_lambda > 0.0:
+            from playableenvironments_tpu.eval.perceptual import (
+                init_vgg19,
+                load_torch_vgg_weights,
+            )
+
+            if cfg.vgg_weights_path:
+                self.vgg_variables, _ = load_torch_vgg_weights(cfg.vgg_weights_path)
+            else:
+                self.vgg_variables = init_vgg19(jax.random.PRNGKey(7))
 
     def init_state(self, key: jax.Array, example_images: jnp.ndarray) -> TrainState:
         # jit the init (eager per-op dispatch is seconds each over a
@@ -75,6 +89,15 @@ class AutoencoderTrainer:
         )
         total = self.cfg.reconstruction_lambda * rec + self.cfg.kl_lambda * kl
         metrics = {"loss": total, "reconstruction_loss": rec, "kl_loss": kl}
+        if self.vgg_variables is not None:
+            from playableenvironments_tpu.eval.perceptual import perceptual_loss
+
+            perceptual, _ = perceptual_loss(
+                self.vgg_variables, images, out["reconstructed_observations"]
+            )
+            total = total + self.cfg.perceptual_lambda * perceptual
+            metrics["perceptual_loss"] = perceptual
+            metrics["loss"] = total
         return total, (metrics, mutated["batch_stats"], out)
 
     def train_step(

@@ -107,6 +107,26 @@ def test_autoencoder_trainer_loss_decreases(key):
     assert np.isfinite(last) and last < first
 
 
+def test_autoencoder_trainer_perceptual_term(key):
+    """perceptual_lambda adds a VGG feature-distance term to the loss
+    (autoencoder_trainer.py:57-68's ParallelPerceptualLoss member)."""
+    trainer = AutoencoderTrainer(
+        AE_CFG,
+        AutoencoderTrainingConfig(
+            learning_rate=1e-3, kl_lambda=1e-6, perceptual_lambda=0.1
+        ),
+    )
+    assert trainer.vgg_variables is not None
+    images = jax.random.uniform(key, (2, 16, 16, 3))
+    state = trainer.init_state(key, images)
+    state, metrics = jax.jit(trainer.train_step)(
+        state, images, jax.random.PRNGKey(0)
+    )
+    assert "perceptual_loss" in metrics
+    assert np.isfinite(float(metrics["perceptual_loss"]))
+    assert float(metrics["loss"]) >= float(metrics["reconstruction_loss"])
+
+
 # ---------------------------------------------------------------------------
 # Decoder-path environment model
 # ---------------------------------------------------------------------------

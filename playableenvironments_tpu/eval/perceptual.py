@@ -41,10 +41,14 @@ class VGGFeatures(nn.Module):
 
     plan: Tuple[Tuple[int, ...], ...] = VGG19_PLAN
     cuts: Tuple[Tuple[int, int], ...] = VGG19_CUTS
+    # Conv dtype; bfloat16 halves the (bandwidth-bound) feature-extraction
+    # cost on TPU. Emitted cut activations are cast back to float32.
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> List[jnp.ndarray]:
-        x = (x - IMAGENET_MEAN) / IMAGENET_STD
+        dtype = jnp.dtype(self.compute_dtype)
+        x = ((x - IMAGENET_MEAN) / IMAGENET_STD).astype(dtype)
         outputs = []
         cut_set = set(self.cuts)
         max_block = max(b for b, _ in self.cuts)
@@ -54,10 +58,12 @@ class VGGFeatures(nn.Module):
             if block_idx > 0:
                 x = nn.max_pool(x, (2, 2), strides=(2, 2))
             for conv_idx, width in enumerate(widths):
-                x = nn.Conv(width, (3, 3), name=f"conv{block_idx}_{conv_idx}")(x)
+                x = nn.Conv(
+                    width, (3, 3), dtype=dtype, name=f"conv{block_idx}_{conv_idx}"
+                )(x)
                 x = nn.relu(x)
                 if (block_idx, conv_idx) in cut_set:
-                    outputs.append(x)
+                    outputs.append(x.astype(jnp.float32))
                     if (block_idx, conv_idx) == self.cuts[-1]:
                         return outputs
         return outputs
@@ -104,12 +110,13 @@ def perceptual_loss(
     observations: jnp.ndarray,
     reconstructed: jnp.ndarray,
     cuts: int = 5,
+    compute_dtype: str = "float32",
 ) -> Tuple[jnp.ndarray, List[jnp.ndarray]]:
     """L1 distance between VGG19 features of (N, H, W, 3) images in [0, 1];
     ground-truth branch stop-gradiented. Reference: training/losses.py:626-721.
 
     :return: (scalar total, per-level means)."""
-    net = VGGFeatures(VGG19_PLAN, VGG19_CUTS[:cuts])
+    net = VGGFeatures(VGG19_PLAN, VGG19_CUTS[:cuts], compute_dtype=compute_dtype)
     gt = jax.lax.stop_gradient(net.apply(variables, observations))
     rec = net.apply(variables, reconstructed)
     level_losses = [jnp.mean(jnp.abs(g - r)) for g, r in zip(gt, rec)]

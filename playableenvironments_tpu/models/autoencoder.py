@@ -41,14 +41,14 @@ class CycleGanResnetBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
         dtype = jnp.dtype(self.compute_dtype)
-        y = reflect_pad(x, 1).astype(dtype)
+        y = reflect_pad(x.astype(dtype), 1)
         y = nn.Conv(self.out_features, (3, 3), padding="VALID", use_bias=False,
                     dtype=dtype, name="conv1")(y)
         y = nn.BatchNorm(use_running_average=not train, name="bn1")(
             y.astype(jnp.float32)
         )
         y = nn.relu(y)
-        y = reflect_pad(y, 1).astype(dtype)
+        y = reflect_pad(y.astype(dtype), 1)
         y = nn.Conv(self.out_features, (3, 3), padding="VALID", use_bias=False,
                     dtype=dtype, name="conv2")(y)
         y = nn.BatchNorm(use_running_average=not train, name="bn2")(
@@ -106,7 +106,7 @@ class MultiresEncoder(nn.Module):
             2 ** sum(self.cfg.downsampling_layers_count)
         )
 
-        y = reflect_pad(x, 3).astype(dtype)
+        y = reflect_pad(x.astype(dtype), 3)
         y = nn.Conv(initial, (7, 7), padding="VALID", use_bias=False,
                     dtype=dtype, name="initial_conv")(y)
         y = nn.BatchNorm(use_running_average=not train, name="initial_bn")(
@@ -123,7 +123,7 @@ class MultiresEncoder(nn.Module):
                 y = nn.Conv(
                     initial * mult * 2, (3, 3), padding="VALID", use_bias=False,
                     dtype=dtype, name=f"down_{set_idx}_{i}",
-                )(reflect_pad(y, 1).astype(dtype))
+                )(reflect_pad(y.astype(dtype), 1))
                 y = nn.BatchNorm(
                     use_running_average=not train, name=f"down_bn_{set_idx}_{i}"
                 )(y.astype(jnp.float32))
@@ -190,12 +190,14 @@ class MultiresDecoder(nn.Module):
                     y = nn.relu(y)
             for i in range(downs):
                 n, h, w, c = y.shape
-                y = jax.image.resize(y, (n, 2 * h, 2 * w, c), method="bilinear")
+                y = jax.image.resize(
+                    y.astype(dtype), (n, 2 * h, 2 * w, c), method="bilinear"
+                )
                 y = reflect_pad(y, 1)
                 y = nn.Conv(
                     initial * mult // 2, (3, 3), padding="VALID", use_bias=False,
                     dtype=dtype, name=f"up_{set_idx}_{i}",
-                )(y.astype(dtype))
+                )(y)
                 y = nn.BatchNorm(
                     use_running_average=not train, name=f"up_bn_{set_idx}_{i}"
                 )(y.astype(jnp.float32))
@@ -213,7 +215,7 @@ class MultiresDecoder(nn.Module):
                 skip = encoded_levels[-set_idx - 2]
                 y = jnp.concatenate([y, skip], axis=-1)
 
-        y = reflect_pad(y, 3).astype(dtype)
+        y = reflect_pad(y.astype(dtype), 3)
         y = nn.Conv(self.cfg.input_features, (7, 7), padding="VALID",
                     dtype=dtype, name="final_conv")(y)
         return nn.sigmoid(y.astype(jnp.float32))

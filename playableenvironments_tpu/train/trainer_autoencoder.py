@@ -41,6 +41,7 @@ class AutoencoderTrainer:
 
     def __init__(self, ae_cfg: AutoencoderConfig, cfg: AutoencoderTrainingConfig):
         self.model = MultiresAutoencoder(ae_cfg)
+        self.ae_cfg = ae_cfg
         self.cfg = cfg
         self.vgg_variables = None
         if cfg.perceptual_lambda > 0.0:
@@ -93,7 +94,8 @@ class AutoencoderTrainer:
             from playableenvironments_tpu.eval.perceptual import perceptual_loss
 
             perceptual, _ = perceptual_loss(
-                self.vgg_variables, images, out["reconstructed_observations"]
+                self.vgg_variables, images, out["reconstructed_observations"],
+                compute_dtype=self.ae_cfg.compute_dtype,
             )
             total = total + self.cfg.perceptual_lambda * perceptual
             metrics["perceptual_loss"] = perceptual

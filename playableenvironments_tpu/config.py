@@ -112,7 +112,9 @@ class ParameterEncoderConfig:
     # learned_v4 (object_parameters_encoder_v4.py:292-313): box tightness
     # correction from box edge to object center.
     edge_to_center_distance: float = 0.0
-    expansion_factor: float = 1.0
+    # Crop-box expansion (rows up, cols sideways; object_encoder_v4.py:61-78).
+    expansion_rows: float = 0.0
+    expansion_cols: float = 0.0
 
 
 @dataclass(frozen=True)
@@ -124,6 +126,9 @@ class ObjectEncoderConfig:
     input_size: Tuple[int, int] = (64, 64)
     style_features: int = 64
     deformation_features: int = 32
+    # Crop-box expansion (rows up, cols sideways; object_encoder_v4.py:61-78).
+    expansion_rows: float = 0.0
+    expansion_cols: float = 0.0
 
 
 @dataclass(frozen=True)
@@ -353,8 +358,18 @@ def object_model_from_dict(
     )
 
 
+def _expansion_from_dict(d: Dict[str, Any]) -> Tuple[float, float]:
+    """(rows, cols) from the reference's `expansion_factor: {rows, cols}`
+    block (or a scalar applied to both)."""
+    e = d.get("expansion_factor", 0.0)
+    if isinstance(e, dict):
+        return float(e.get("rows", 0.0)), float(e.get("cols", 0.0))
+    return float(e), float(e)
+
+
 def parameter_encoder_from_dict(block: Dict[str, Any]) -> ParameterEncoderConfig:
     _, d = _strip_name_key(block)
+    rows, cols = _expansion_from_dict(d)
     return ParameterEncoderConfig(
         kind=_PARAM_ENCODER_KIND_BY_ARCH.get(d.get("architecture", ""), "static"),
         objects_count=int(d.get("objects_count", 1)),
@@ -364,17 +379,21 @@ def parameter_encoder_from_dict(block: Dict[str, Any]) -> ParameterEncoderConfig
         input_size=tuple(d.get("input_size", (64, 64))),
         rotation_axis=int(d.get("rotation_axis", 2)),
         edge_to_center_distance=float(d.get("edge_to_center_distance", 0.0)),
-        expansion_factor=float(d.get("expansion_factor", 1.0)),
+        expansion_rows=rows,
+        expansion_cols=cols,
     )
 
 
 def object_encoder_from_dict(block: Dict[str, Any]) -> ObjectEncoderConfig:
     _, d = _strip_name_key(block)
+    rows, cols = _expansion_from_dict(d)
     return ObjectEncoderConfig(
         kind=_OBJECT_ENCODER_KIND_BY_ARCH.get(d.get("architecture", ""), "v4"),
         input_size=tuple(d.get("input_size", (64, 64))),
         style_features=int(d.get("style_features", 64)),
         deformation_features=int(d.get("deformation_features", 32)),
+        expansion_rows=rows,
+        expansion_cols=cols,
     )
 
 

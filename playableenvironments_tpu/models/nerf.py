@@ -310,14 +310,19 @@ class ObjectRadianceField(nn.Module):
 
         if self.cfg.nerf.kind == "skybox":
             # Constant along the ray: evaluate per-ray, broadcast over samples.
+            # Origins are per-image ((..., 3)); the skybox encodes (origin,
+            # direction) pairs, so broadcast them over the rays axis.
             ray_mask = jnp.any(mask, axis=-1)  # (..., rays)
+            origins_b = jnp.broadcast_to(
+                ray_origins[..., None, :], ray_directions.shape
+            )
             features_ray, alpha_ray = SkyboxNerfMLP(
                 self.cfg.nerf,
                 self.cfg.style_features,
                 self.cfg.bounding_box,
                 name="nerf",
             )(
-                ray_origins,
+                origins_b,
                 ray_directions,
                 style[..., None, :],
                 ray_mask,

@@ -25,8 +25,6 @@ class ObjectEncoderV4(nn.Module):
     """
 
     cfg: ObjectEncoderConfig
-    expansion_rows: float = 0.0
-    expansion_cols: float = 0.0
 
     @nn.compact
     def __call__(
@@ -47,7 +45,9 @@ class ObjectEncoderV4(nn.Module):
         n, height, width, _ = observations.shape
         in_h, in_w = self.cfg.input_size
 
-        boxes = expand_boxes(bounding_boxes, self.expansion_rows, self.expansion_cols)
+        boxes = expand_boxes(
+            bounding_boxes, self.cfg.expansion_rows, self.cfg.expansion_cols
+        )
         pixel_boxes = boxes * jnp.asarray(
             [width, height, width, height], boxes.dtype
         )
@@ -92,8 +92,6 @@ class ObjectEncoderV5(nn.Module):
     """
 
     cfg: ObjectEncoderConfig
-    expansion_rows: float = 0.0
-    expansion_cols: float = 0.0
 
     @nn.compact
     def __call__(
@@ -108,7 +106,9 @@ class ObjectEncoderV5(nn.Module):
         n, height, width, _ = observations.shape
         in_h, in_w = self.cfg.input_size
 
-        boxes = expand_boxes(bounding_boxes, self.expansion_rows, self.expansion_cols)
+        boxes = expand_boxes(
+            bounding_boxes, self.cfg.expansion_rows, self.cfg.expansion_cols
+        )
         pixel_boxes = boxes * jnp.asarray(
             [width, height, width, height], boxes.dtype
         )

@@ -169,7 +169,9 @@ class ObjectParametersEncoderV4(nn.Module):
         in_h, in_w = self.cfg.input_size
 
         # --- rotation: CNN on each object's crop (shared weights) ---
-        boxes = expand_boxes(bounding_boxes, 0.0, 0.0)
+        boxes = expand_boxes(
+            bounding_boxes, self.cfg.expansion_rows, self.cfg.expansion_cols
+        )
         pixel_boxes = boxes * jnp.asarray([width, height, width, height], boxes.dtype)
         flat_boxes = pixel_boxes.reshape(-1, 4)
         flat_images = jnp.repeat(observations, objects_count, axis=0)

@@ -299,3 +299,119 @@ def test_forward_keypoint_consistency(model_and_vars):
     assert float(loss) < 1e-6
     op_loss = L.keypoint_opacity_loss(opacity, confidence, 0.1)
     assert np.isfinite(float(op_loss))
+
+
+def test_published_configs_build():
+    """configs/tennis.yaml and configs/minecraft.yaml (the published
+    experiments translated) parse into scenes, models, and trainers."""
+    import os
+
+    import yaml
+
+    from playableenvironments_tpu.cli.common import (
+        build_environment_model,
+        synthesis_training_config,
+    )
+    from playableenvironments_tpu.train.trainer_synthesis import SynthesisTrainer
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for name, objects, static in (("tennis.yaml", 4, 2), ("minecraft.yaml", 3, 2)):
+        cfg = yaml.safe_load(open(os.path.join(repo, "configs", name)))
+        model = build_environment_model(cfg)
+        scene = model.scene
+        assert len(scene.object_models) == objects
+        assert scene.static_object_models == static
+        assert scene.autoencoder is not None
+        assert len(scene.animation_models) == 2
+        trainer = SynthesisTrainer(model, synthesis_training_config(cfg))
+        assert trainer.cfg.samples_per_image in (144, 1600)
+        from playableenvironments_tpu.config import ObjectIds
+
+        ids = ObjectIds(scene)
+        assert ids.objects_count == 4  # both datasets: 2 static + 2 players
+        if name == "minecraft.yaml":
+            assert scene.fix_object_overlaps
+            assert scene.object_models[1].nerf.kind == "skybox"
+            assert scene.parameter_encoders[2].kind == "learned_v4"
+            # ONE player model serves BOTH player objects (objects_count: 2).
+            assert scene.parameter_encoders[2].objects_count == 2
+            assert ids.model_idx_by_object_idx(3) == 2
+            assert scene.parameter_encoders[2].expansion_rows == 2.8
+            assert scene.object_encoders[2].expansion_cols == 2.0
+
+
+def test_minecraft_structure_forward():
+    """A shrunken minecraft.yaml scene (skybox + shared two-object player
+    model + learned_v4 pose encoder + overlap fix) runs end-to-end."""
+    import dataclasses
+    import os
+
+    import yaml
+
+    from playableenvironments_tpu.cli.common import build_environment_model
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cfg = yaml.safe_load(open(os.path.join(repo, "configs", "minecraft.yaml")))
+    model = build_environment_model(cfg)
+    scene = model.scene
+
+    def shrink_pe(pe):
+        return dataclasses.replace(pe, octaves=min(pe.octaves, 3))
+
+    def shrink_om(om):
+        return dataclasses.replace(
+            om,
+            positions_count_coarse=min(om.positions_count_coarse, 4),
+            ray_compaction=1.0,
+            style_features=8,
+            deformation_features=4,
+            nerf=dataclasses.replace(
+                om.nerf, layers_width=16, backbone_layers_count=2,
+                output_features=6, skip_layer_idx=1,
+                position_encoder=shrink_pe(om.nerf.position_encoder),
+            ),
+            bender=dataclasses.replace(
+                om.bender, layers_width=8, layers_count=2, skip_layer_idx=1,
+                position_encoder=shrink_pe(om.bender.position_encoder),
+            ),
+        )
+
+    small = dataclasses.replace(
+        scene,
+        autoencoder=None,
+        apply_activation=True,
+        object_models=tuple(shrink_om(om) for om in scene.object_models),
+        object_encoders=tuple(
+            dataclasses.replace(oe, input_size=(8, 16), style_features=8,
+                                deformation_features=4)
+            for oe in scene.object_encoders
+        ),
+    )
+    from playableenvironments_tpu.render.environment_model import EnvironmentModel
+
+    m = EnvironmentModel(small, focal_length_multiplier=1.0)
+    observations = jnp.full((1, 2, 1, 16, 24, 3), 0.5)
+    cam_rot = jnp.zeros((1, 2, 1, 3))
+    cam_trans = jnp.zeros((1, 2, 1, 3)).at[..., 1].set(1.0)
+    focals = jnp.full((1, 2, 1), 30.0)
+    boxes = jnp.broadcast_to(
+        jnp.asarray([[0.3, 0.4, 0.4, 0.7], [0.6, 0.4, 0.7, 0.7]]),
+        (1, 2, 1, 2, 4),
+    )
+    validity = jnp.ones((1, 2, 1, 2), bool)
+    frames = jnp.zeros((1, 2), jnp.int32)
+    rngs = {k: jax.random.PRNGKey(i) for i, k in enumerate(
+        ("params", "ray_sampling", "sampling", "alpha_noise", "style_shuffle"))}
+    variables = jax.jit(
+        lambda r: m.init(r, observations, cam_rot, cam_trans, focals,
+                         boxes, validity, frames, samples_per_image=8)
+    )(rngs)
+    out, _ = m.apply(
+        variables, observations, cam_rot, cam_trans, focals, boxes, validity,
+        frames, samples_per_image=8, train=True,
+        rngs={k: v for k, v in rngs.items() if k != "params"},
+        mutable=["batch_stats"],
+    )
+    feats = out["coarse"]["global"]["integrated_features"]
+    assert feats.shape[-1] == 6
+    assert bool(jnp.all(jnp.isfinite(feats)))

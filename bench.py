@@ -257,7 +257,8 @@ def bench_train_step():
                 om,
                 ray_compaction=1.0,
                 nerf=dataclasses.replace(
-                    om.nerf, output_features=3, compute_dtype="bfloat16"
+                    om.nerf, output_features=3, compute_dtype="bfloat16",
+                    use_fused_backbone=True,
                 ),
                 bender=dataclasses.replace(om.bender, compute_dtype="bfloat16"),
             )

@@ -66,6 +66,10 @@ class NerfMLPConfig:
     # MLP matmul dtype (params, AdaIN statistics, and outputs stay float32;
     # bfloat16 runs the backbone on the MXU's fast path).
     compute_dtype: str = "float32"
+    # Run the backbone + alpha head through the custom-VJP Pallas kernel
+    # (activations stay in VMEM in both directions; bf16 matmuls, f32
+    # accumulation). Interpreted (slow) off-TPU; the AdaIN head stays in XLA.
+    use_fused_backbone: bool = False
 
 
 @dataclass(frozen=True)
@@ -332,6 +336,7 @@ def object_model_from_dict(
         skip_layer_idx=int(nerf_d.get("skip_layer_idx", 4)),
         position_encoder=_pe_from_dict(nerf_d.get("position_encoder", {})),
         compute_dtype=str(nerf_d.get("compute_dtype", object_dtype)),
+        use_fused_backbone=bool(nerf_d.get("use_fused_backbone", False)),
     )
     bender = RayBenderConfig(
         kind=_BENDER_KIND_BY_ARCH.get(bender_d.get("architecture", ""), "zeroed"),

@@ -32,6 +32,22 @@ from playableenvironments_tpu.models.encoding import (
 from playableenvironments_tpu.models.layers import AffineTransformAdaIn
 
 
+class DenseParams(nn.Module):
+    """Declares Dense-compatible {kernel, bias} params without the matmul —
+    the fused Pallas backbone consumes the raw arrays but must share the
+    param tree (names, shapes, initializers) with the nn.Dense path."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (in_features, self.features)
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return kernel, bias
+
+
 class AdaInNerfMLP(nn.Module):
     """8x256-style MLP with a mid-backbone skip and an AdaIN-modulated feature
     head. Reference: model/nerf_models/adain_style_nerf_model.py:14-199.
@@ -65,19 +81,44 @@ class AdaInNerfMLP(nn.Module):
         # compute_dtype (bfloat16 = full-rate MXU); AdaIN statistics and the
         # returned features/alpha back in f32.
         dtype = jnp.dtype(self.cfg.compute_dtype)
-        encoded = encoded.astype(dtype)
 
-        h = encoded
-        for layer_idx in range(self.cfg.backbone_layers_count):
-            if layer_idx == self.cfg.skip_layer_idx:
-                h = jnp.concatenate([h, encoded], axis=-1)
-            h = nn.Dense(
-                self.cfg.layers_width, dtype=dtype, name=f"backbone_{layer_idx}"
-            )(h)
-            h = nn.relu(h)
+        if self.cfg.use_fused_backbone:
+            # Custom-VJP Pallas kernel over the whole chain (ops.fused_nerf).
+            # Params are declared with Dense's exact names/inits so the two
+            # paths share checkpoints.
+            from playableenvironments_tpu.ops import fused_nerf
 
-        alpha = nn.Dense(1, dtype=dtype, name="alpha_head")(h)[..., 0]
-        alpha = alpha.astype(jnp.float32)
+            packed = {}
+            widths_in = fused_nerf._backbone_sizes(self.cfg, encoded.shape[-1])
+            for layer_idx in range(self.cfg.backbone_layers_count):
+                k, b = DenseParams(
+                    self.cfg.layers_width, name=f"backbone_{layer_idx}"
+                )(widths_in[layer_idx])
+                packed[f"w{layer_idx}"] = k
+                packed[f"b{layer_idx}"] = b
+            k, b = DenseParams(1, name="alpha_head")(self.cfg.layers_width)
+            packed["w_alpha"] = k
+            packed["b_alpha"] = b
+            flat = encoded.astype(jnp.float32).reshape(-1, encoded.shape[-1])
+            h_flat, alpha_flat = fused_nerf.fused_backbone(
+                self.cfg, packed, flat,
+                interpret=jax.default_backend() != "tpu",
+            )
+            h = h_flat.reshape(encoded.shape[:-1] + (self.cfg.layers_width,))
+            alpha = alpha_flat.reshape(encoded.shape[:-1])
+        else:
+            encoded = encoded.astype(dtype)
+            h = encoded
+            for layer_idx in range(self.cfg.backbone_layers_count):
+                if layer_idx == self.cfg.skip_layer_idx:
+                    h = jnp.concatenate([h, encoded], axis=-1)
+                h = nn.Dense(
+                    self.cfg.layers_width, dtype=dtype, name=f"backbone_{layer_idx}"
+                )(h)
+                h = nn.relu(h)
+
+            alpha = nn.Dense(1, dtype=dtype, name="alpha_head")(h)[..., 0]
+            alpha = alpha.astype(jnp.float32)
 
         # Feature head: Dense -> AdaIN -> ReLU -> Dense -> AdaIN -> ReLU -> Dense
         # (adain_style_nerf_model.py:57-71).

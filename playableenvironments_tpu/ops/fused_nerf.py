@@ -343,3 +343,251 @@ def fused_object_field_eval(
     features = jnp.where(mask[..., None], features, 0.0)
     alpha = jnp.where(mask, alpha, empty_space_alpha)
     return features, alpha
+
+
+# ---------------------------------------------------------------------------
+# Trainable fused backbone (custom VJP)
+# ---------------------------------------------------------------------------
+#
+# The TRAINING path's cost is dominated by the 8x256 backbone matmul chain:
+# as separate XLA ops every layer round-trips its (points, 256) activations
+# through HBM (~2x the MXU time at the published scale). This kernel runs the
+# whole chain in VMEM, and its backward kernel rematerializes activations
+# blockwise and accumulates weight gradients across the (sequential) TPU grid
+# into shared output blocks. AdaIN heads stay in XLA: their train-mode batch
+# statistics need cross-block reductions.
+
+
+def _backbone_sizes(cfg: NerfMLPConfig, encoded_size: int):
+    widths_in = []
+    for i in range(cfg.backbone_layers_count):
+        if i == 0:
+            w_in = encoded_size
+        else:
+            w_in = cfg.layers_width
+        if i == cfg.skip_layer_idx and i != 0:
+            w_in += encoded_size
+        widths_in.append(w_in)
+    return widths_in
+
+
+def _fwd_backbone_kernel(cfg, encoded_ref, *refs):
+    layers = cfg.backbone_layers_count
+    mm = jnp.dtype(cfg.compute_dtype)
+    weight_refs = refs[: 2 * layers + 2]
+    h_out_ref, alpha_out_ref = refs[2 * layers + 2 :]
+
+    encoded = encoded_ref[:]
+    h = encoded
+    for i in range(layers):
+        w = weight_refs[2 * i][:]
+        b = weight_refs[2 * i + 1][:]
+        if i == cfg.skip_layer_idx and i != 0:
+            h = jnp.concatenate([h, encoded], axis=-1)
+        h = jnp.dot(
+            h.astype(mm), w.astype(mm), preferred_element_type=jnp.float32
+        )
+        h = jnp.maximum(h + b, 0.0)
+    w_alpha = weight_refs[2 * layers][:]
+    b_alpha = weight_refs[2 * layers + 1][:]
+    alpha = (
+        jnp.dot(
+            h.astype(mm), w_alpha.astype(mm), preferred_element_type=jnp.float32
+        )
+        + b_alpha
+    )
+    h_out_ref[:] = h
+    alpha_out_ref[:] = alpha
+
+
+def _bwd_backbone_kernel(cfg, encoded_ref, g_h_ref, g_alpha_ref, *refs):
+    layers = cfg.backbone_layers_count
+    weight_refs = refs[: 2 * layers + 2]
+    out_refs = refs[2 * layers + 2 :]
+    d_encoded_ref = out_refs[0]
+    dw_refs = out_refs[1:]
+
+    # Zero the shared weight-gradient accumulators on the first block.
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        for ref in dw_refs:
+            ref[:] = jnp.zeros_like(ref)
+
+    encoded = encoded_ref[:]
+
+    mm = jnp.dtype(cfg.compute_dtype)
+
+    def bf(x):
+        return x.astype(mm)
+
+    # Rematerialize forward activations (post-relu).
+    acts = []
+    h = encoded
+    for i in range(layers):
+        w = weight_refs[2 * i][:]
+        b = weight_refs[2 * i + 1][:]
+        if i == cfg.skip_layer_idx and i != 0:
+            h = jnp.concatenate([h, encoded], axis=-1)
+        h = jnp.dot(bf(h), bf(w), preferred_element_type=jnp.float32)
+        h = jnp.maximum(h + b, 0.0)
+        acts.append(h)
+
+    g_alpha = g_alpha_ref[:]
+    w_alpha = weight_refs[2 * layers][:]
+    # Alpha head grads (input = final activation).
+    dw_refs[2 * layers][:] += jnp.dot(
+        bf(acts[-1].T), bf(g_alpha), preferred_element_type=jnp.float32
+    )
+    dw_refs[2 * layers + 1][:] += jnp.sum(g_alpha, axis=0, keepdims=True)
+
+    g = g_h_ref[:] + jnp.dot(
+        bf(g_alpha), bf(w_alpha.T), preferred_element_type=jnp.float32
+    )
+    d_encoded = jnp.zeros_like(encoded)
+    for i in range(layers - 1, -1, -1):
+        g = g * (acts[i] > 0.0)
+        if i == 0:
+            layer_in = encoded
+        elif i == cfg.skip_layer_idx:
+            layer_in = jnp.concatenate([acts[i - 1], encoded], axis=-1)
+        else:
+            layer_in = acts[i - 1]
+        dw_refs[2 * i][:] += jnp.dot(
+            bf(layer_in.T), bf(g), preferred_element_type=jnp.float32
+        )
+        dw_refs[2 * i + 1][:] += jnp.sum(g, axis=0, keepdims=True)
+        w = weight_refs[2 * i][:]
+        g_in = jnp.dot(bf(g), bf(w.T), preferred_element_type=jnp.float32)
+        if i == 0:
+            d_encoded = d_encoded + g_in
+        elif i == cfg.skip_layer_idx:
+            width = acts[i - 1].shape[-1]
+            d_encoded = d_encoded + g_in[:, width:]
+            g = g_in[:, :width]
+        else:
+            g = g_in
+    d_encoded_ref[:] = d_encoded
+
+
+def _weight_list(cfg: NerfMLPConfig, packed: Dict[str, jnp.ndarray]):
+    order = []
+    for i in range(cfg.backbone_layers_count):
+        order += [packed[f"w{i}"], packed[f"b{i}"].reshape(1, -1)]
+    order += [packed["w_alpha"], packed["b_alpha"].reshape(1, -1)]
+    return order
+
+
+def _pad_points(x, block):
+    n = x.shape[0]
+    padded = ((n + block - 1) // block) * block
+    if padded != n:
+        x = jnp.pad(x, ((0, padded - n), (0, 0)))
+    return x, n, padded
+
+
+def _run_fwd_backbone(cfg, packed, encoded, block_points, interpret):
+    weights = _weight_list(cfg, packed)
+    encoded_p, n, padded = _pad_points(encoded, block_points)
+    grid = (padded // block_points,)
+
+    def block_spec(feat):
+        return pl.BlockSpec(
+            (block_points, feat), lambda i: (i, 0), memory_space=pltpu.VMEM
+        )
+
+    def whole(shape):
+        return pl.BlockSpec(
+            shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM
+        )
+
+    h, alpha = pl.pallas_call(
+        functools.partial(_fwd_backbone_kernel, cfg),
+        grid=grid,
+        in_specs=[block_spec(encoded.shape[1])] + [whole(w.shape) for w in weights],
+        out_specs=(block_spec(cfg.layers_width), block_spec(1)),
+        out_shape=(
+            jax.ShapeDtypeStruct((padded, cfg.layers_width), jnp.float32),
+            jax.ShapeDtypeStruct((padded, 1), jnp.float32),
+        ),
+        interpret=interpret,
+    )(encoded_p, *weights)
+    return h[:n], alpha[:n, 0]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 3, 4))
+def fused_backbone(
+    cfg: NerfMLPConfig,
+    packed: Dict[str, jnp.ndarray],
+    encoded: jnp.ndarray,
+    block_points: int = 512,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fused backbone + alpha head over already-PE-encoded points.
+
+    Differentiable wrt `packed` ({w0..wL-1, b0..bL-1, w_alpha, b_alpha}) and
+    `encoded` ((N, E) float32). Matmuls run in bf16 with f32 accumulation in
+    both directions; the backward kernel rematerializes activations per block
+    and accumulates weight gradients across the sequential TPU grid.
+
+    :return: ((N, layers_width) final activation, (N,) raw alpha).
+    """
+    return _run_fwd_backbone(cfg, packed, encoded, block_points, interpret)
+
+
+def _fused_backbone_fwd(cfg, packed, encoded, block_points, interpret):
+    out = _run_fwd_backbone(cfg, packed, encoded, block_points, interpret)
+    return out, (packed, encoded)
+
+
+def _fused_backbone_bwd(cfg, block_points, interpret, residuals, grads):
+    packed, encoded = residuals
+    g_h, g_alpha = grads
+    weights = _weight_list(cfg, packed)
+    encoded_p, n, padded = _pad_points(encoded, block_points)
+    g_h_p, _, _ = _pad_points(g_h, block_points)
+    g_alpha_p, _, _ = _pad_points(g_alpha[:, None], block_points)
+    grid = (padded // block_points,)
+
+    def block_spec(feat):
+        return pl.BlockSpec(
+            (block_points, feat), lambda i: (i, 0), memory_space=pltpu.VMEM
+        )
+
+    def whole(shape):
+        return pl.BlockSpec(
+            shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM
+        )
+
+    out_shapes = [jax.ShapeDtypeStruct((padded, encoded.shape[1]), jnp.float32)]
+    out_specs = [block_spec(encoded.shape[1])]
+    for w in weights:
+        out_shapes.append(jax.ShapeDtypeStruct(w.shape, jnp.float32))
+        out_specs.append(whole(w.shape))
+
+    outs = pl.pallas_call(
+        functools.partial(_bwd_backbone_kernel, cfg),
+        grid=grid,
+        in_specs=[
+            block_spec(encoded.shape[1]),
+            block_spec(cfg.layers_width),
+            block_spec(1),
+        ]
+        + [whole(w.shape) for w in weights],
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shapes),
+        interpret=interpret,
+    )(encoded_p, g_h_p, g_alpha_p, *weights)
+
+    d_encoded = outs[0][:n]
+    dw = outs[1:]
+    layers = cfg.backbone_layers_count
+    d_packed = {}
+    for i in range(layers):
+        d_packed[f"w{i}"] = dw[2 * i]
+        d_packed[f"b{i}"] = dw[2 * i + 1].reshape(-1)
+    d_packed["w_alpha"] = dw[2 * layers]
+    d_packed["b_alpha"] = dw[2 * layers + 1].reshape(-1)
+    return d_packed, d_encoded
+
+
+fused_backbone.defvjp(_fused_backbone_fwd, _fused_backbone_bwd)

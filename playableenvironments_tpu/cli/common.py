@@ -153,12 +153,49 @@ def run_synthesis_training(
     batching = cfg["training"]["batching"]
     batch_size = int(batching.get("batch_size", 8))
 
-    example = next(dataset.iterate_batches(batch_size, seed=seed))
+    # Data-parallel mesh over every device of every host; with one device
+    # this degenerates to plain placement. Per-host batches hold this host's
+    # interleaved slice of the global batch.
+    from playableenvironments_tpu.parallel import (
+        create_mesh,
+        replicate,
+        shard_batch,
+    )
+
+    process_index, process_count = jax.process_index(), jax.process_count()
+    is_main = process_index == 0
+    devices_count = len(jax.devices())
+    if process_count > 1:
+        if batch_size % devices_count:
+            raise ValueError(
+                f"batch_size {batch_size} must divide over {devices_count} "
+                "devices in a multi-host run"
+            )
+        mesh = create_mesh()
+    else:
+        # Single host: shard over the largest device prefix the batch divides
+        # (a CPU test mesh has 8 virtual devices but smoke batches of 2).
+        import math
+
+        usable = math.gcd(batch_size, devices_count)
+        mesh = create_mesh(jax.devices()[:usable])
+    local_batch = batch_size // process_count
+
+    def epoch_batches(epoch_seed):
+        for host_batch in dataset.iterate_batches(
+            local_batch, seed=epoch_seed,
+            process_index=process_index, process_count=process_count,
+        ):
+            yield shard_batch(host_batch, mesh)
+
+    example = next(epoch_batches(seed))
     state = trainer.init_state(jax.random.PRNGKey(seed), example)
+    state = replicate(state, mesh)
 
     latest = checkpointing.latest_checkpoint(checkpoints_dir)
     if latest:
         state = checkpointing.restore_checkpoint(latest, state)
+        state = replicate(state, mesh)
         logger.print(f"resumed from {latest} at step {int(state.step)}")
 
     step_fn = jax.jit(trainer.train_step, donate_argnums=0)
@@ -202,7 +239,7 @@ def run_synthesis_training(
 
     epoch = 0
     while int(state.step) < train_cfg.max_steps:
-        for batch in dataset.iterate_batches(batch_size, seed=seed + epoch):
+        for batch in epoch_batches(seed + epoch):
             key = jax.random.fold_in(jax.random.PRNGKey(seed), int(state.step))
             if enable_profiling and int(state.step) == profile_start:
                 jax.profiler.start_trace(os.path.join(results_dir, "profile"))
@@ -224,13 +261,13 @@ def run_synthesis_training(
                 )
             step = int(state.step)
             meter.add({k: float(v) for k, v in metrics.items()})
-            if step % log_interval == 0:
+            if step % log_interval == 0 and is_main:
                 logged = meter.pop_all()
                 logged["steps_per_sec"] = 1.0 / max(timer.summary().get("step", 1), 1e-9)
                 logger.log(logged, step)
-            if step % save_freq == 0 or step >= train_cfg.max_steps:
+            if (step % save_freq == 0 or step >= train_cfg.max_steps) and is_main:
                 checkpointing.save_checkpoint(checkpoints_dir, state)
-            if evaluator is not None and step % eval_freq == 0:
+            if evaluator is not None and step % eval_freq == 0 and is_main:
                 evaluator.evaluate(
                     {"params": state.params, "batch_stats": state.batch_stats},
                     eval_batch, logger, step,
@@ -238,6 +275,7 @@ def run_synthesis_training(
             if step >= train_cfg.max_steps:
                 break
         epoch += 1
-    checkpointing.save_checkpoint(checkpoints_dir, state)
+    if is_main:
+        checkpointing.save_checkpoint(checkpoints_dir, state)
     logger.close()
     return checkpoints_dir

@@ -11,6 +11,11 @@ import os
 
 
 def main():
+    # Multi-host (DCN) coordination, when configured; must precede any
+    # backend-initializing jax call in this process.
+    from playableenvironments_tpu.parallel import maybe_initialize_distributed
+
+    maybe_initialize_distributed()
     parser = argparse.ArgumentParser(description="Phase-1 autoencoder training")
     parser.add_argument("--config", required=True)
     parser.add_argument("--max_steps", type=int, default=None)

@@ -227,11 +227,19 @@ class MulticameraVideoDataset:
         seed: int = 0,
         drop_last: bool = True,
         prefetch: int = 2,
+        process_index: int = 0,
+        process_count: int = 1,
     ) -> Iterator[Batch]:
-        """One shuffled epoch of fixed-size batches with background prefetch."""
+        """One shuffled epoch of fixed-size batches with background prefetch.
+
+        Multi-host: every process generates the SAME global order (same seed)
+        and takes its interleaved slice, so per-host batches assemble into a
+        consistent global batch (parallel.shard_batch)."""
         order = np.arange(len(self))
         if shuffle:
             np.random.default_rng(seed).shuffle(order)
+        if process_count > 1:
+            order = order[process_index::process_count]
         n_batches = len(order) // batch_size if drop_last else -(-len(order) // batch_size)
         if n_batches == 0:
             return

@@ -5,6 +5,7 @@ from playableenvironments_tpu.parallel.mesh import (
     constrain_ray_axis,
     create_2d_mesh,
     create_mesh,
+    maybe_initialize_distributed,
     replicate,
     shard_batch,
 )

@@ -37,13 +37,43 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: Any, mesh: Mesh, axis_name: str = DATA_AXIS) -> Any:
-    """Place a host batch pytree on the mesh, leading axis sharded."""
+    """Place a host batch pytree on the mesh, leading axis sharded.
+
+    Multi-host (DCN): each process holds ITS slice of the global batch
+    (dataset.iterate_batches(process_index=...)); the slices assemble into
+    one global array per leaf without any cross-host copy."""
     sharding = batch_sharding(mesh, axis_name)
 
-    def place(x):
-        return jax.device_put(x, sharding)
+    if jax.process_count() > 1:
+        def place(x):
+            return jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)
+            )
+    else:
+        def place(x):
+            return jax.device_put(x, sharding)
 
     return jax.tree.map(place, batch)
+
+
+def maybe_initialize_distributed():
+    """`jax.distributed.initialize()` when a multi-host launch is configured
+    (COORDINATOR_ADDRESS/JAX coordination env vars or PE_MULTIHOST=1 on TPU
+    pods, where jax auto-discovers peers). No-op otherwise — single-process
+    runs must not wait on a coordination service."""
+    import os
+
+    configured = (
+        os.environ.get("PE_MULTIHOST")
+        or os.environ.get("COORDINATOR_ADDRESS")
+        or os.environ.get("JAX_COORDINATOR_ADDRESS")
+    )
+    if not configured:
+        return False
+    import jax
+
+    jax.distributed.initialize()
+    return True
 
 
 def replicate(tree: Any, mesh: Mesh) -> Any:

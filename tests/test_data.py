@@ -126,3 +126,22 @@ def test_observation_stacking(dataset_root):
     )
     sample = ds[0]
     assert sample["observations"].shape[-1] == 6  # 3 channels x 2 stacked
+
+
+def test_iterate_batches_process_sharding(dataset_root):
+    """Multi-host batch sharding: per-process interleaved slices of one
+    global shuffled order, disjoint and collectively exhaustive."""
+    from playableenvironments_tpu.data.dataset import MulticameraVideoDataset
+
+    dataset = MulticameraVideoDataset(dataset_root, observations_count=2)
+    seen = []
+    for p in range(2):
+        for batch in dataset.iterate_batches(
+            1, seed=3, process_index=p, process_count=2, drop_last=False
+        ):
+            seen.append(
+                (int(batch.video_indexes[0]), int(batch.video_frame_indexes[0, 0]))
+            )
+    # One epoch across both processes covers every sample exactly once.
+    assert len(seen) == len(dataset)
+    assert len(set(seen)) == len(seen)

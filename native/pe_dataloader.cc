@@ -250,3 +250,79 @@ int pe_decode_png_batch(const char** paths, int n, int target_h, int target_w,
 }
 
 }  // extern "C"
+
+namespace {
+
+// Encode 8-bit RGB rows into a PNG file. Returns 0 on success.
+int encode_one(const char* path, int height, int width, const float* rgb) {
+  std::vector<uint8_t> bytes(static_cast<size_t>(height) * width * 3);
+  const size_t count = bytes.size();
+  for (size_t i = 0; i < count; ++i) {
+    float v = rgb[i] * 255.0f + 0.5f;
+    if (v < 0.0f) v = 0.0f;
+    if (v > 255.0f) v = 255.0f;
+    bytes[i] = static_cast<uint8_t>(v);
+  }
+  FILE* fp = std::fopen(path, "wb");
+  if (!fp) return 1;
+  png_structp png =
+      png_create_write_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
+  png_infop info = png ? png_create_info_struct(png) : nullptr;
+  if (!png || !info || setjmp(png_jmpbuf(png))) {
+    if (png) png_destroy_write_struct(&png, info ? &info : nullptr);
+    std::fclose(fp);
+    return 2;
+  }
+  png_init_io(png, fp);
+  png_set_IHDR(png, info, width, height, 8, PNG_COLOR_TYPE_RGB,
+               PNG_INTERLACE_NONE, PNG_COMPRESSION_TYPE_DEFAULT,
+               PNG_FILTER_TYPE_DEFAULT);
+  png_write_info(png, info);
+  std::vector<png_bytep> rows(height);
+  for (int r = 0; r < height; ++r) {
+    rows[r] = bytes.data() + static_cast<size_t>(r) * width * 3;
+  }
+  png_write_image(png, rows.data());
+  png_write_end(png, nullptr);
+  png_destroy_write_struct(&png, &info);
+  std::fclose(fp);
+  return 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Encode one f32 RGB [0,1] (h, w, 3) image to a PNG file.
+int pe_encode_png(const char* path, int height, int width, const float* rgb) {
+  return encode_one(path, height, width, rgb);
+}
+
+// Threaded batch encode: data[n, h, w, 3] to n PNG files.
+int pe_encode_png_batch(const char** paths, int n, int height, int width,
+                        const float* data, int threads) {
+  if (n <= 0) return 0;
+  if (threads <= 0) threads = 1;
+  if (threads > n) threads = n;
+  const size_t stride = static_cast<size_t>(height) * width * 3;
+  std::atomic<int> next(0);
+  std::atomic<int> status(0);
+  auto worker = [&]() {
+    for (;;) {
+      int i = next.fetch_add(1);
+      if (i >= n) return;
+      int rc = encode_one(paths[i], height, width, data + stride * i);
+      if (rc) {
+        int expected = 0;
+        status.compare_exchange_strong(expected, rc);
+      }
+    }
+  };
+  std::vector<std::thread> pool;
+  pool.reserve(threads);
+  for (int t = 0; t < threads; ++t) pool.emplace_back(worker);
+  for (auto& t : pool) t.join();
+  return status.load();
+}
+
+}  // extern "C"

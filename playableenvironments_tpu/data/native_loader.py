@@ -11,6 +11,7 @@ API:
 - png_size(path) -> (h, w)
 - decode(path, target_size=None) -> (h, w, 3) float32
 - decode_batch(paths, target_size, threads=0) -> (n, h, w, 3) float32
+- encode(path, frame) / encode_batch(paths, frames, threads=0)
 """
 
 from __future__ import annotations
@@ -84,6 +85,22 @@ def _get_lib():
             ctypes.c_int,
         ]
         lib.pe_decode_png_batch.restype = ctypes.c_int
+        lib.pe_encode_png.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_float),
+        ]
+        lib.pe_encode_png.restype = ctypes.c_int
+        lib.pe_encode_png_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p),
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int,
+        ]
+        lib.pe_encode_png_batch.restype = ctypes.c_int
         _lib = lib
         return _lib
 
@@ -160,3 +177,36 @@ def decode_batch(
     if rc:
         raise IOError(f"pe_decode_png_batch failed with status {rc}")
     return out
+
+
+def encode(path: str, frame: np.ndarray):
+    """Write one float32 [0,1] RGB (h, w, 3) frame as a PNG."""
+    lib = _get_lib()
+    if lib is None:
+        raise RuntimeError("native loader unavailable")
+    frame = np.ascontiguousarray(frame, np.float32)
+    h, w = frame.shape[:2]
+    rc = lib.pe_encode_png(
+        path.encode(), h, w,
+        frame.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    if rc:
+        raise IOError(f"pe_encode_png({path}) failed with status {rc}")
+
+
+def encode_batch(paths: Sequence[str], frames: np.ndarray, threads: int = 0):
+    """Write (n, h, w, 3) float32 frames to n PNG files in a C++ thread pool."""
+    lib = _get_lib()
+    if lib is None:
+        raise RuntimeError("native loader unavailable")
+    frames = np.ascontiguousarray(frames, np.float32)
+    n, h, w = frames.shape[:3]
+    if threads <= 0:
+        threads = min(os.cpu_count() or 1, 16)
+    arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    rc = lib.pe_encode_png_batch(
+        arr, n, h, w,
+        frames.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), threads,
+    )
+    if rc:
+        raise IOError(f"pe_encode_png_batch failed with status {rc}")

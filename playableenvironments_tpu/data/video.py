@@ -115,6 +115,15 @@ def _load_image(path: str) -> np.ndarray:
 
 
 def _save_image(array: np.ndarray, path: str):
+    if path.lower().endswith(".png"):
+        from playableenvironments_tpu.data import native_loader
+
+        if native_loader.available():
+            try:
+                native_loader.encode(path, np.asarray(array, np.float32))
+                return
+            except IOError:
+                pass  # fall through to PIL
     from PIL import Image
 
     img = Image.fromarray(

@@ -27,11 +27,11 @@ from playableenvironments_tpu.train.trainer_synthesis import split_rngs
 
 
 def _save_frame(array: np.ndarray, path: str):
-    from PIL import Image
+    """PNG write through the native C++ encoder (thread-pool libpng), PIL
+    fallback — the creators write one file per rendered frame."""
+    from playableenvironments_tpu.data.video import _save_image
 
-    Image.fromarray(
-        np.clip(np.asarray(array) * 255.0, 0, 255).astype(np.uint8)
-    ).save(path)
+    _save_image(np.asarray(array), path)
 
 
 def _copy_metadata(src_camera_dir: str, dst_camera_dir: str):

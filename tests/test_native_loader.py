@@ -124,3 +124,29 @@ def test_dataset_native_matches_fallback_with_resize(
     monkeypatch.setattr(native_loader, "available", lambda: False)
     pil = ds[0]["observations"]
     assert np.abs(native - pil).mean() < 0.05
+
+
+def test_native_encode_roundtrip(tmp_path):
+    """pe_encode_png(_batch): f32 RGB -> PNG -> decode matches to 8-bit
+    quantization, and PIL reads the files identically."""
+    from playableenvironments_tpu.data import native_loader
+
+    if not native_loader.available():
+        pytest.skip("native library not buildable here")
+    rng = np.random.default_rng(0)
+    frames = rng.random((3, 10, 14, 3)).astype(np.float32)
+    paths = [str(tmp_path / f"{i}.png") for i in range(3)]
+    native_loader.encode_batch(paths, frames)
+    back = native_loader.decode_batch(paths, (10, 14))
+    assert float(np.max(np.abs(back - frames))) <= 0.5 / 255.0 + 1e-6
+
+    from PIL import Image
+
+    pil = np.asarray(Image.open(paths[1]).convert("RGB"), np.float32) / 255.0
+    np.testing.assert_allclose(pil, back[1], atol=1e-6)
+
+    single = str(tmp_path / "one.png")
+    native_loader.encode(single, frames[0])
+    np.testing.assert_allclose(
+        native_loader.decode(single), back[0], atol=1e-6
+    )

@@ -294,15 +294,21 @@ def bench_train_step():
         video_indexes=np.zeros((bs,), np.int32),
     )
     state = trainer.init_state(jax.random.PRNGKey(0), batch)
-    step = jax.jit(trainer.train_step, donate_argnums=0)
-    state, metrics = step(state, batch, jax.random.PRNGKey(1))
-    jax.block_until_ready(metrics["loss"])
-
     iters = int(os.environ.get("BENCH_ITERS", 20))
+
+    # Device-side chain (see bench_phase3_step for why).
+    @jax.jit
+    def chained(state, batch, key):
+        def body(carry, step_key):
+            new_state, metrics = trainer.train_step(carry, batch, step_key)
+            return new_state, metrics["loss"]
+        return jax.lax.scan(body, state, jax.random.split(key, iters))
+
+    state, losses_out = chained(state, batch, jax.random.PRNGKey(1))
+    np.asarray(losses_out)  # compile + warm
     start = time.perf_counter()
-    for i in range(iters):
-        state, metrics = step(state, batch, jax.random.PRNGKey(2 + i))
-    jax.block_until_ready(metrics["loss"])
+    state, losses_out = chained(state, batch, jax.random.PRNGKey(2))
+    np.asarray(losses_out)
     dt = (time.perf_counter() - start) / iters
 
     rays_per_step = bs * obs * cams * 144
@@ -346,15 +352,21 @@ def bench_phase1_step():
     rng = np.random.default_rng(0)
     images = jnp.asarray(rng.random((20, 288, 512, 3), np.float32))
     state = trainer.init_state(jax.random.PRNGKey(0), images)
-    step = jax.jit(trainer.train_step, donate_argnums=0)
-    state, metrics = step(state, images, jax.random.PRNGKey(1))
-    jax.block_until_ready(metrics["loss"])
-
     iters = int(os.environ.get("BENCH_ITERS", 10))
+
+    # Device-side chain (see bench_phase3_step for why).
+    @jax.jit
+    def chained(state, images, key):
+        def body(carry, step_key):
+            new_state, metrics = trainer.train_step(carry, images, step_key)
+            return new_state, metrics["loss"]
+        return jax.lax.scan(body, state, jax.random.split(key, iters))
+
+    state, losses_out = chained(state, images, jax.random.PRNGKey(1))
+    np.asarray(losses_out)  # compile + warm
     start = time.perf_counter()
-    for i in range(iters):
-        state, metrics = step(state, images, jax.random.PRNGKey(2 + i))
-    jax.block_until_ready(metrics["loss"])
+    state, losses_out = chained(state, images, jax.random.PRNGKey(2))
+    np.asarray(losses_out)
     dt = (time.perf_counter() - start) / iters
     print(
         json.dumps(
@@ -368,6 +380,241 @@ def bench_phase1_step():
     )
 
 
+def _phase3_scene():
+    """The published tennis phase-3 wiring: 2 players sharing published
+    animation-model sizes (configs/tennis/playability/100_*.yaml: dynamics
+    2x256 LSTM cells, action net 3x128, 7 actions, 5-dim action space)."""
+    import dataclasses
+
+    from playableenvironments_tpu.config import (
+        ActionNetworkConfig,
+        AnimationModelConfig,
+        DynamicsNetworkConfig,
+    )
+
+    anim = AnimationModelConfig(
+        actions_count=7,
+        action_space_dimension=5,
+        style_features=64,
+        deformation_features=32,
+        gumbel_temperature=1.0,
+        hard_gumbel=False,
+        centroid_alpha=0.1,
+        dynamics=DynamicsNetworkConfig(
+            output_features=256, layers_count=2,
+            force_rotations_zero=True, force_z_translations_zero=True,
+            rotation_axis=2,
+        ),
+        action_network=ActionNetworkConfig(layers_width=128, layers_count=3),
+    )
+    return dataclasses.replace(build_scene(), animation_models=(anim, anim))
+
+
+def bench_phase3_step():
+    """Phase-3 (action module) fused G+D train step at the published tennis
+    scale: bs 16, 9 observations, 2 players (README.md:158; tennis playability
+    config: dynamics 2x256, action net 3x128, GAN on). The step runs on
+    CACHED frozen scene encodings — the production path (the frozen encoder
+    forward is precomputed once per dataset by train.encoding_cache, so the
+    step touches only the animation MLPs/LSTMs). vs_baseline against an
+    assumed 2 steps/s for the reference trainer on RTX 8000 (bs 16: no-grad
+    conv encode of 144 frames @ 512x288 + unrolled LSTM per step)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from playableenvironments_tpu.render.environment_model import EnvironmentModel
+    from playableenvironments_tpu.render.playable_model import (
+        PlayableEnvironmentModel,
+    )
+    from playableenvironments_tpu.scene.encoding import SceneEncoding
+    from playableenvironments_tpu.train.trainer_playable import (
+        PlayableLossWeights,
+        PlayableTrainer,
+        PlayableTrainingConfig,
+    )
+
+    scene = _phase3_scene()
+    bs, T, cams, n_obj = 16, 9, 1, 4
+
+    rng = np.random.default_rng(0)
+
+    def randn(*shape):
+        return jnp.asarray(rng.normal(size=shape).astype(np.float32))
+
+    encoding = SceneEncoding(
+        camera_rotations=randn(bs, T, cams, 3) * 0.1,
+        camera_translations=randn(bs, T, cams, 3),
+        focals=jnp.full((bs, T, cams), 315.0),
+        object_rotations=randn(bs, T, n_obj, 3) * 0.1,
+        object_translations=randn(bs, T, n_obj, 3),
+        object_style=randn(bs, T, n_obj, 64),
+        object_deformation=randn(bs, T, n_obj, 32),
+        object_in_scene=jnp.ones((bs, T, n_obj), dtype=bool),
+    )
+
+    env_model = EnvironmentModel(scene, focal_length_multiplier=1.0)
+    playable = PlayableEnvironmentModel(scene, with_discriminators=True)
+    trainer = PlayableTrainer(
+        env_model, playable,
+        PlayableTrainingConfig(
+            ground_truth_observations_start=5,
+            loss_weights=PlayableLossWeights(gan=0.1, acmv=0.1),
+        ),
+    )
+
+    # init_state normally consumes a raw batch; seed it directly from the
+    # encoding (the playable subtree never sees images).
+    state = trainer.init_state_from_encoding(
+        jax.random.PRNGKey(0), encoding, {}, {}
+    )
+
+    # Device-side step time: N sequential steps chained in ONE executable
+    # (state threads through, so nothing pipelines or folds away) — the same
+    # methodology as the fps bench, isolating compute from the benchmark
+    # harness's tunneled-TPU dispatch/transfer overheads.
+    iters = int(os.environ.get("BENCH_ITERS", 50))
+
+    @jax.jit
+    def chained(state, encoding, key):
+        def body(carry, step_key):
+            new_state, metrics = trainer.fused_step(carry, encoding, step_key)
+            return new_state, metrics["loss"]
+        keys = jax.random.split(key, iters)
+        final_state, losses_out = jax.lax.scan(body, state, keys)
+        return final_state, losses_out
+
+    state, losses_out = chained(state, encoding, jax.random.PRNGKey(1))
+    np.asarray(losses_out)  # compile + warm (forces a real device round trip)
+    start = time.perf_counter()
+    state, losses_out = chained(state, encoding, jax.random.PRNGKey(2))
+    np.asarray(losses_out)
+    dt = (time.perf_counter() - start) / iters
+    print(
+        json.dumps(
+            {
+                "metric": "phase3_train_step_ms",
+                "value": round(dt * 1e3, 2),
+                "unit": "ms/step",
+                "vs_baseline": round(0.5 / dt, 1),
+            }
+        )
+    )
+
+
+def bench_soak():
+    """Published-scale phase-2 soak: a few hundred train steps at 512x288 /
+    bs 8 / 4 obs on the real chip, asserting the step time stays at BENCH
+    levels (memory/shape cliffs the tiny tests cannot catch)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from playableenvironments_tpu.data.batching import Batch
+    from playableenvironments_tpu.render.environment_model import EnvironmentModel
+    from playableenvironments_tpu.train.trainer_synthesis import (
+        LossWeights,
+        SynthesisTrainer,
+        SynthesisTrainingConfig,
+    )
+
+    bs, obs, cams, h, w = 8, 4, 1, 288, 512
+    scene = build_scene()
+    scene = dataclasses.replace(
+        scene,
+        apply_activation=True,
+        object_models=tuple(
+            dataclasses.replace(
+                om,
+                ray_compaction=1.0,
+                nerf=dataclasses.replace(
+                    om.nerf, output_features=3, compute_dtype="bfloat16",
+                    use_fused_backbone=True,
+                ),
+                bender=dataclasses.replace(om.bender, compute_dtype="bfloat16"),
+            )
+            for om in scene.object_models
+        ),
+    )
+    model = EnvironmentModel(scene, focal_length_multiplier=1.0)
+    trainer = SynthesisTrainer(
+        model,
+        SynthesisTrainingConfig(
+            samples_per_image=144,
+            loss_weights=LossWeights(
+                reconstruction=1.0, opacity=0.01, attention=0.01, bounding_box=0.1
+            ),
+        ),
+    )
+    rng = np.random.default_rng(0)
+    frames = jnp.zeros((bs, obs), jnp.int32)
+    batch = Batch(
+        observations=jnp.asarray(rng.random((bs, obs, cams, h, w, 3), np.float32)),
+        camera_rotations=jnp.zeros((bs, obs, cams, 3)).at[..., 0].set(-0.65),
+        camera_translations=jnp.zeros((bs, obs, cams, 3))
+        .at[..., 1].set(18.0).at[..., 2].set(10.0),
+        focals=jnp.full((bs, obs, cams), 1180.0 * w / 1920.0),
+        bounding_boxes=jnp.broadcast_to(
+            jnp.asarray([[0.3, 0.4, 0.38, 0.55], [0.6, 0.5, 0.68, 0.66]]),
+            (bs, obs, cams, 2, 4),
+        ),
+        bounding_boxes_validity=jnp.ones((bs, obs, cams, 2), bool),
+        global_frame_indexes=frames,
+        video_frame_indexes=frames,
+        video_indexes=np.zeros((bs,), np.int32),
+    )
+    state = trainer.init_state(jax.random.PRNGKey(0), batch)
+
+    # Chained blocks of steps with a forced device->host sync per block
+    # (np.asarray; plain block_until_ready does not reliably synchronize
+    # through the benchmark harness's TPU tunnel).
+    block = 10
+
+    @jax.jit
+    def chained(state, batch, key):
+        def body(carry, step_key):
+            new_state, metrics = trainer.train_step(carry, batch, step_key)
+            return new_state, metrics["loss"]
+        return jax.lax.scan(body, state, jax.random.split(key, block))
+
+    state, losses_out = chained(state, batch, jax.random.PRNGKey(1))
+    np.asarray(losses_out)  # compile + warm
+
+    steps = int(os.environ.get("BENCH_SOAK_STEPS", 300))
+    budget_ms = float(os.environ.get("BENCH_SOAK_BUDGET_MS", 80.0))
+    times = []
+    final_loss = float("nan")
+    for i in range(max(steps // block, 1)):
+        start = time.perf_counter()
+        state, losses_out = chained(state, batch, jax.random.PRNGKey(2 + i))
+        losses_np = np.asarray(losses_out)
+        times.append((time.perf_counter() - start) / block)
+        final_loss = float(losses_np[-1])
+    mean_ms = 1e3 * sum(times) / len(times)
+    p99_ms = 1e3 * sorted(times)[int(0.99 * (len(times) - 1))]
+    ok = mean_ms <= budget_ms and all(
+        t * 1e3 <= 5 * budget_ms for t in times
+    ) and final_loss == final_loss  # NaN check
+    print(
+        json.dumps(
+            {
+                "metric": "phase2_soak_step_ms",
+                "value": round(mean_ms, 1),
+                "unit": f"ms/step over {steps} steps (p99 {p99_ms:.1f}, "
+                        f"budget {budget_ms}, pass={ok})",
+                "vs_baseline": round(
+                    bs * obs * cams * 144 / (mean_ms / 1e3)
+                    / REFERENCE_A100_RAYS_PER_SEC, 2
+                ),
+            }
+        )
+    )
+    if not ok:
+        raise SystemExit(f"soak FAILED: mean {mean_ms:.1f} ms > {budget_ms} ms")
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -378,12 +625,31 @@ def main():
     )
     from playableenvironments_tpu.render.composer import SceneComposer
 
-    if os.environ.get("BENCH_MODE") == "fps":
+    mode = os.environ.get("BENCH_MODE", "")
+    if mode == "fps":
         return bench_interactive_fps()
-    if os.environ.get("BENCH_MODE") == "train":
+    if mode == "train":
         return bench_train_step()
-    if os.environ.get("BENCH_MODE") == "phase1":
+    if mode == "phase1":
         return bench_phase1_step()
+    if mode == "phase3":
+        return bench_phase3_step()
+    if mode == "soak":
+        return bench_soak()
+
+    if not mode:
+        # Default invocation (the driver's): every mode, one JSON line each,
+        # the headline rays/s line LAST so the driver's single-line parse
+        # stays on the round-1 metric.
+        for fn in (bench_phase1_step, bench_train_step, bench_phase3_step,
+                   bench_interactive_fps):
+            try:
+                fn()
+            except Exception as error:  # pragma: no cover - keep headline alive
+                print(json.dumps({
+                    "metric": f"{fn.__name__}_error", "value": 0,
+                    "unit": str(error)[:200], "vs_baseline": 0,
+                }))
 
     scene = build_scene()
     composer = SceneComposer(scene)
@@ -443,14 +709,24 @@ def main():
             )
             return out["coarse"]["global"]["integrated_features"]
 
-    # Warmup/compile.
-    jax.block_until_ready(render(variables, directions))
-
     iters = int(os.environ.get("BENCH_ITERS", 10))
+
+    # Device-side chain: each iteration's directions are perturbed by the
+    # previous result's checksum so nothing folds, pipelines, or could be
+    # memoized by the harness (see bench_interactive_fps).
+    import numpy as np
+
+    @jax.jit
+    def chained(v, dirs):
+        def body(carry, _):
+            out = render(v, dirs + carry * 1e-12)
+            return jnp.mean(out), None
+        out, _ = jax.lax.scan(body, jnp.zeros(()), length=iters)
+        return out
+
+    np.asarray(chained(variables, directions))  # compile + warm
     start = time.perf_counter()
-    for _ in range(iters):
-        result = render(variables, directions)
-    jax.block_until_ready(result)
+    np.asarray(chained(variables, directions))
     elapsed = time.perf_counter() - start
 
     rays_per_sec = rays * iters / elapsed

@@ -3,6 +3,8 @@ reference's numbered pipeline scripts (dataset/acquisition/*).
 
   minecraft   ReplayMod recording -> dataset splits
               (splitted_recording.py + acquire_replays.py)
+  tennis      local video + sequence-annotation YAML -> frame trees
+              (extract_sequences_from_youtube_1.py + extract_frames_4.py)
   calibrate   court-keypoint camera calibration for a frame tree
               (compute_camera_poses_2.py + dataset/calibration/tennis)
   boxes       detector-based player boxes (compute_bounding_boxes_3.py)
@@ -31,6 +33,23 @@ def _minecraft(args):
         extract_frames=args.video is not None,
     )
     print(f"wrote {len(written)} splits under {args.output}")
+
+
+def _tennis(args):
+    from playableenvironments_tpu.acquisition.tennis_ingest import (
+        ingest_tennis_video,
+        sequences_for_video,
+    )
+
+    sequences = sequences_for_video(
+        args.annotations, args.video, args.splits_duration,
+        video_name=args.video_name,
+    )
+    written = ingest_tennis_video(
+        args.video, sequences, args.output,
+        begin_index=args.begin_index, objects_count=args.objects_count,
+    )
+    print(f"wrote {len(written)} sequences under {args.output}")
 
 
 def _calibrate(args):
@@ -139,6 +158,19 @@ def main():
     p.add_argument("--output", required=True)
     p.add_argument("--begin_index", type=int, default=0)
     p.set_defaults(func=_minecraft)
+
+    p = sub.add_parser("tennis", help="ingest an annotated tennis video")
+    p.add_argument("--video", required=True, help="local video file")
+    p.add_argument("--annotations", required=True,
+                   help="sequence-annotation YAML (reference format)")
+    p.add_argument("--splits_duration", type=float, default=600.0,
+                   help="duration in seconds of the annotation video splits")
+    p.add_argument("--video_name", default=None,
+                   help="annotation key (defaults to the video's basename)")
+    p.add_argument("--output", required=True)
+    p.add_argument("--begin_index", type=int, default=0)
+    p.add_argument("--objects_count", type=int, default=2)
+    p.set_defaults(func=_tennis)
 
     p = sub.add_parser("calibrate", help="planar-court camera calibration")
     p.add_argument("--image_points", required=True,

@@ -114,6 +114,22 @@ def build_environment_model(cfg: Dict[str, Any]) -> EnvironmentModel:
     )
 
 
+def apply_debug_flags(cfg: Dict[str, Any]):
+    """`training.debug_nans: true` flips jax_debug_nans so every jitted step
+    re-runs un-jitted on NaN and raises at the producing op — the functioning
+    equivalent of the reference's NaN forward hooks + detect_anomaly
+    (playable_environment_model_discriminator.py:24-84, config-gated there
+    too)."""
+    debug = bool(
+        cfg.get("training", {}).get("debug_nans", False)
+        or cfg.get("playable_model_training", {}).get("debug_nans", False)
+        or cfg.get("autoencoder_training", {}).get("debug_nans", False)
+    )
+    if debug:
+        jax.config.update("jax_debug_nans", True)
+    return debug
+
+
 def output_dirs(cfg: Dict[str, Any]) -> Tuple[str, str]:
     """(results_dir, checkpoints_dir) per the logging section
     (utils/configuration.py:244-266's directory structure)."""
@@ -192,15 +208,22 @@ def run_synthesis_training(
     state = trainer.init_state(jax.random.PRNGKey(seed), example)
     state = replicate(state, mesh)
 
+    quick_dir = os.path.join(checkpoints_dir, "quick")
     latest = checkpointing.latest_checkpoint(checkpoints_dir)
-    if latest:
-        state = checkpointing.restore_checkpoint(latest, state)
+    latest_quick = checkpointing.latest_checkpoint(quick_dir)
+    resume_from = max(
+        [latest, latest_quick],
+        key=lambda p: int(p.rsplit("_", 1)[-1]) if p else -1,
+    )
+    if resume_from:
+        state = checkpointing.restore_checkpoint(resume_from, state)
         state = replicate(state, mesh)
-        logger.print(f"resumed from {latest} at step {int(state.step)}")
+        logger.print(f"resumed from {resume_from} at step {int(state.step)}")
 
     step_fn = jax.jit(trainer.train_step, donate_argnums=0)
     log_interval = int(cfg["training"].get("log_interval_steps", 10))
     save_freq = int(cfg["training"].get("save_freq", 30000))
+    quick_save_freq = int(cfg["training"].get("quick_save_freq", 500))
     eval_freq = int(cfg["training"].get("eval_freq", 0))
 
     evaluator = None
@@ -266,16 +289,30 @@ def run_synthesis_training(
                 logged["steps_per_sec"] = 1.0 / max(timer.summary().get("step", 1), 1e-9)
                 logger.log(logged, step)
             if (step % save_freq == 0 or step >= train_cfg.max_steps) and is_main:
-                checkpointing.save_checkpoint(checkpoints_dir, state)
+                # device_get first: the state is fully replicated so process 0
+                # can fetch it without any collective, and the orbax write
+                # then involves no multi-host coordination (calling collective
+                # save/eval on process 0 only would deadlock >1-process runs).
+                checkpointing.save_checkpoint(
+                    checkpoints_dir, jax.device_get(state)
+                )
+            elif step % quick_save_freq == 0 and is_main:
+                # Crash-bounding quick saves (reference train.py:81-86).
+                checkpointing.save_checkpoint(
+                    quick_dir, jax.device_get(state), keep=2
+                )
             if evaluator is not None and step % eval_freq == 0 and is_main:
                 evaluator.evaluate(
-                    {"params": state.params, "batch_stats": state.batch_stats},
+                    {
+                        "params": jax.device_get(state.params),
+                        "batch_stats": jax.device_get(state.batch_stats),
+                    },
                     eval_batch, logger, step,
                 )
             if step >= train_cfg.max_steps:
                 break
         epoch += 1
     if is_main:
-        checkpointing.save_checkpoint(checkpoints_dir, state)
+        checkpointing.save_checkpoint(checkpoints_dir, jax.device_get(state))
     logger.close()
     return checkpoints_dir

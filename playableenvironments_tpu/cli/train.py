@@ -21,9 +21,14 @@ def main():
     parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args()
 
-    from playableenvironments_tpu.cli.common import load_yaml, run_synthesis_training
+    from playableenvironments_tpu.cli.common import (
+        apply_debug_flags,
+        load_yaml,
+        run_synthesis_training,
+    )
 
     cfg = load_yaml(args.config)
+    apply_debug_flags(cfg)
     checkpoints = run_synthesis_training(cfg, args.max_steps, args.seed)
     print(f"training complete; checkpoints in {checkpoints}")
 

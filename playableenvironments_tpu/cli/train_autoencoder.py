@@ -40,6 +40,9 @@ def main():
     from playableenvironments_tpu.utils.meters import AverageMeter
 
     cfg = load_yaml(args.config)
+    from playableenvironments_tpu.cli.common import apply_debug_flags
+
+    apply_debug_flags(cfg)
     results_dir, checkpoints_dir = output_dirs(cfg)
     logger = Logger(results_dir, cfg.get("logging", {}).get("run_name", "ae"))
 
@@ -61,23 +64,75 @@ def main():
     dataset = build_dataset(cfg, "train")
     batch_size = int(t["batching"].get("batch_size", 20))
 
+    # Data-parallel mesh (the phase-2 pattern): per-host interleaved batch
+    # slices assemble into one global batch; XLA psums gradients over ICI.
+    import math
+
+    from playableenvironments_tpu.parallel import create_mesh, replicate, shard_batch
+
+    process_index, process_count = jax.process_index(), jax.process_count()
+    is_main = process_index == 0
+    devices_count = len(jax.devices())
+    if process_count > 1:
+        if batch_size % devices_count:
+            raise ValueError(
+                f"batch_size {batch_size} must divide over {devices_count} devices"
+            )
+        mesh = create_mesh()
+    else:
+        mesh = create_mesh(jax.devices()[: math.gcd(batch_size, devices_count)])
+    local_batch = batch_size // process_count
+
     def image_batches(seed):
-        for batch in dataset.iterate_batches(batch_size, seed=seed):
+        for batch in dataset.iterate_batches(
+            local_batch, seed=seed,
+            process_index=process_index, process_count=process_count,
+        ):
             # (B, T, C, H, W, 3) -> flatten to a plain image batch.
             obs = batch.observations
-            yield jnp.asarray(obs.reshape((-1,) + obs.shape[-3:]))
+            images = jnp.asarray(obs.reshape((-1,) + obs.shape[-3:]))
+            yield shard_batch(images, mesh)
 
     example = next(image_batches(args.seed))
     state = trainer.init_state(jax.random.PRNGKey(args.seed), example)
+
+    quick_dir = os.path.join(checkpoints_dir, "quick")
     latest = checkpointing.latest_checkpoint(checkpoints_dir)
-    if latest:
-        state = checkpointing.restore_checkpoint(latest, state)
-        logger.print(f"resumed from {latest}")
+    latest_quick = checkpointing.latest_checkpoint(quick_dir)
+    resume_from = max(
+        [latest, latest_quick],
+        key=lambda p: int(p.rsplit("_", 1)[-1]) if p else -1,
+    )
+    if resume_from:
+        state = checkpointing.restore_checkpoint(resume_from, state)
+        logger.print(f"resumed from {resume_from}")
+    state = replicate(state, mesh)
 
     step_fn = jax.jit(trainer.train_step, donate_argnums=0)
     meter = AverageMeter()
     log_interval = int(t.get("log_interval_steps", 10))
     save_freq = int(t.get("save_freq", 30000))
+    quick_save_freq = int(t.get("quick_save_freq", 500))
+    eval_freq = int(t.get("eval_freq", 0))
+
+    evaluator = None
+    if eval_freq:
+        # Training-time GT/reconstruction grids + latent stats (reference
+        # evaluation/autoencoder/autoencoder_evaluator.py).
+        from playableenvironments_tpu.eval.autoencoder_evaluator import (
+            AutoencoderEvaluator,
+        )
+
+        try:
+            val_dataset = build_dataset(cfg, "val")
+        except FileNotFoundError:
+            val_dataset = dataset
+        val_batch = next(val_dataset.iterate_batches(2, shuffle=False))
+        val_images = val_batch.observations.reshape(
+            (-1,) + val_batch.observations.shape[-3:]
+        )
+        evaluator = AutoencoderEvaluator(trainer, val_images)
+
     epoch = 0
     while int(state.step) < train_cfg.max_steps:
         for images in image_batches(args.seed + epoch):
@@ -85,14 +140,23 @@ def main():
             state, metrics = step_fn(state, images, key)
             step = int(state.step)
             meter.add({k: float(v) for k, v in metrics.items()})
-            if step % log_interval == 0:
+            if step % log_interval == 0 and is_main:
                 logger.log(meter.pop_all(), step)
-            if step % save_freq == 0 or step >= train_cfg.max_steps:
-                checkpointing.save_checkpoint(checkpoints_dir, state)
+            if (step % save_freq == 0 or step >= train_cfg.max_steps) and is_main:
+                checkpointing.save_checkpoint(
+                    checkpoints_dir, jax.device_get(state)
+                )
+            elif step % quick_save_freq == 0 and is_main:
+                checkpointing.save_checkpoint(
+                    quick_dir, jax.device_get(state), keep=2
+                )
+            if evaluator is not None and step % eval_freq == 0 and is_main:
+                evaluator.evaluate(jax.device_get(state), logger, step)
             if step >= train_cfg.max_steps:
                 break
         epoch += 1
-    checkpointing.save_checkpoint(checkpoints_dir, state)
+    if is_main:
+        checkpointing.save_checkpoint(checkpoints_dir, jax.device_get(state))
     logger.close()
     print(f"autoencoder training complete; checkpoints in {checkpoints_dir}")
 

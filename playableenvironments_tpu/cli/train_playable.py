@@ -32,6 +32,7 @@ def main():
     import jax
 
     from playableenvironments_tpu.cli.common import (
+        apply_debug_flags,
         build_dataset,
         build_environment_model,
         load_yaml,
@@ -52,6 +53,7 @@ def main():
     import os
 
     cfg = load_yaml(args.config)
+    apply_debug_flags(cfg)
     results_dir, checkpoints_dir = output_dirs(cfg)
     # Phase-3 checkpoints live in their own subdirectory: the reference keeps
     # phases in separate run directories (README.md:144-155); sharing one
@@ -80,6 +82,8 @@ def main():
         observations_count_steps=int(batching.get("observations_count_steps", 25000)),
         mutual_information_alpha=float(t.get("mutual_information_estimation_alpha", 0.2)),
         mutual_information_entropy_lambda=float(t.get("mutual_information_entropy_lambda", 1.0)),
+        use_camera_relative_acmv=bool(t.get("use_camera_relative_acmv", False)),
+        acmv_rotation_axis=t.get("acmv_rotation_axis"),
         loss_weights=PlayableLossWeights(
             rotations_rec=float(w.get("rotations_rec_lambda", 1.0)),
             translations_rec=float(w.get("translations_rec_lambda", 1.0)),
@@ -117,41 +121,124 @@ def main():
     state = trainer.init_state(
         jax.random.PRNGKey(args.seed), example, env_params, env_batch_stats
     )
-    latest = checkpointing.latest_checkpoint(checkpoints_dir)
-    if latest:
-        state = checkpointing.restore_checkpoint(latest, state)
-        logger.print(f"resumed from {latest}")
 
-    step_fn = jax.jit(trainer.train_step)
-    disc_fn = jax.jit(trainer.discriminator_step) if use_gan else None
+    # Resume from the newest of named and quick checkpoints.
+    quick_dir = os.path.join(checkpoints_dir, "quick")
+    latest = checkpointing.latest_checkpoint(checkpoints_dir)
+    latest_quick = checkpointing.latest_checkpoint(quick_dir)
+
+    def _ckpt_step(path):
+        return int(path.rsplit("_", 1)[-1]) if path else -1
+
+    resume_from = max([latest, latest_quick], key=_ckpt_step)
+    if resume_from:
+        state = checkpointing.restore_checkpoint(resume_from, state)
+        logger.print(f"resumed from {resume_from}")
+
+    # The frozen encoding is deterministic (eval mode): encode every dataset
+    # frame ONCE up front and train on cached state vectors — phase 3 never
+    # touches images again (the reference re-encodes per step; SURVEY §3.2
+    # phase 3 never renders, so the conv encoders were its entire step cost).
+    from playableenvironments_tpu.parallel import create_mesh, replicate, shard_batch
+    from playableenvironments_tpu.train.encoding_cache import (
+        EncodingCache,
+        params_fingerprint,
+    )
+
+    encode_key = jax.random.PRNGKey(args.seed)
+    cache_path = os.path.join(checkpoints_dir, "encoding_cache.npz")
+    fingerprint = params_fingerprint(env_params)
+    cache = None
+    if os.path.exists(cache_path):
+        try:
+            cache = EncodingCache.load(cache_path, fingerprint=fingerprint)
+            logger.print(f"loaded encoding cache from {cache_path}")
+        except ValueError as stale:
+            logger.print(f"{stale}; rebuilding")
+    if cache is None:
+        encode_fn = jax.jit(
+            lambda b, k: trainer.encode_batch(
+                {"environment": {"params": env_params, "batch_stats": env_batch_stats}},
+                b, k,
+            )
+        )
+        cache = EncodingCache.build(
+            encode_fn, dataset, encode_key,
+            batch_size=int(t.get("encoding_batch_size", 32)),
+            log_fn=logger.print,
+        )
+        if jax.process_index() == 0:
+            cache.save(cache_path, fingerprint=fingerprint)
+
+    # Data-parallel mesh (the phase-2 pattern, cli/common.py): batch axis
+    # sharded, replicated state, XLA psum over ICI.
+    import math
+
+    process_index, process_count = jax.process_index(), jax.process_count()
+    is_main = process_index == 0
+    devices_count = len(jax.devices())
+    if process_count > 1:
+        if batch_size % devices_count:
+            raise ValueError(
+                f"batch_size {batch_size} must divide over {devices_count} devices"
+            )
+        mesh = create_mesh()
+    else:
+        mesh = create_mesh(jax.devices()[: math.gcd(batch_size, devices_count)])
+    local_batch = batch_size // process_count
+    state = replicate(state, mesh)
+
+    step_fn = jax.jit(trainer.fused_step, donate_argnums=0)
     meter = AverageMeter()
     log_interval = int(t.get("log_interval_steps", 10))
     save_freq = int(t.get("save_freq", 10000))
+    quick_save_freq = int(t.get("quick_save_freq", 500))
+    eval_freq = int(t.get("eval_freq", 0))
+
+    evaluator = None
+    if eval_freq:
+        from playableenvironments_tpu.eval.playable_evaluator import (
+            build_playable_evaluator,
+        )
+
+        evaluator = build_playable_evaluator(
+            cfg, trainer, dataset, results_dir, seed=args.seed
+        )
+
     epoch = 0
-    current_length = dataset.observations_count
     while int(state.step) < train_cfg.max_steps:
-        # Sequence-length annealing re-indexes the dataset
-        # (playable_model_trainer.py:537-561).
-        target_length = train_cfg.observations_count_at(int(state.step))
-        if target_length != current_length:
-            dataset.set_observations_count(target_length)
-            current_length = target_length
-        for batch in dataset.iterate_batches(batch_size, seed=args.seed + epoch):
+        # Sequence-length annealing is index arithmetic over the cache
+        # (playable_model_trainer.py:537-561 re-indexes the dataset).
+        current_length = train_cfg.observations_count_at(int(state.step))
+        for encoding in cache.iterate_encoding_batches(
+            local_batch, current_length, seed=args.seed + epoch,
+            process_index=process_index, process_count=process_count,
+        ):
+            encoding = shard_batch(encoding, mesh)
             key = jax.random.fold_in(jax.random.PRNGKey(args.seed), int(state.step))
-            state, metrics = step_fn(state, batch, key)
-            if disc_fn is not None:
-                state, disc_metrics = disc_fn(state, batch, key)
-                metrics = {**metrics, **disc_metrics}
+            state, metrics = step_fn(state, encoding, key)
             step = int(state.step)
             meter.add({k: float(v) for k, v in metrics.items()})
-            if step % log_interval == 0:
+            if step % log_interval == 0 and is_main:
                 logger.log(meter.pop_all(), step)
-            if step % save_freq == 0 or step >= train_cfg.max_steps:
-                checkpointing.save_checkpoint(checkpoints_dir, state)
+            if (step % save_freq == 0 or step >= train_cfg.max_steps) and is_main:
+                checkpointing.save_checkpoint(
+                    checkpoints_dir, jax.device_get(state)
+                )
+            elif step % quick_save_freq == 0 and is_main:
+                # Crash-bounding quick saves (reference train.py:81-86).
+                checkpointing.save_checkpoint(
+                    quick_dir, jax.device_get(state), keep=2
+                )
+            if evaluator is not None and step % eval_freq == 0 and is_main:
+                evaluator.evaluate(jax.device_get(state), logger, step)
             if step >= train_cfg.max_steps:
                 break
+            if train_cfg.observations_count_at(step) != current_length:
+                break  # re-window the cache at the new sequence length
         epoch += 1
-    checkpointing.save_checkpoint(checkpoints_dir, state)
+    if is_main:
+        checkpointing.save_checkpoint(checkpoints_dir, jax.device_get(state))
     logger.close()
     print(f"playable training complete; checkpoints in {checkpoints_dir}")
 

@@ -427,7 +427,23 @@ def convert_environment_model(
         if k.startswith("camera_parameters_offsets.storage.storage.")
     ]
     if row_keys:
+        if len(row_keys) % cameras_count:
+            raise ValueError(
+                f"checkpoint has {len(row_keys)} camera-offset rows, not "
+                f"divisible by cameras_count={cameras_count}; the checkpoint "
+                "was trained with a different camera set — pass the matching "
+                "cameras_count (reference allowed_cameras at train time)"
+            )
         memory_size = len(row_keys) // cameras_count
+        missing = [
+            j for j in range(len(row_keys))
+            if f"camera_parameters_offsets.storage.storage.{j}" not in state
+        ]
+        if missing:
+            raise ValueError(
+                f"camera-offset rows are not contiguous 0..{len(row_keys) - 1}: "
+                f"missing indices {missing[:5]}..."
+            )
         params["camera_offsets"] = convert_camera_offsets(
             state, memory_size, cameras_count
         )
@@ -529,9 +545,14 @@ def convert_action_network(
             "bias": np.asarray(state[f"{bn}.beta"]),
         }
         std = np.asarray(state[f"{bn}.running_std"])
+        # The reference normalizes by (std + eps) (masked_batch_norm.py eval
+        # path) while MaskedBatchNorm divides by sqrt(var + eps); storing
+        # var = (std + eps)^2 - eps makes both normalizations identical even
+        # for low-variance features.
+        eps = 1e-5  # MaskedBatchNorm.epsilon default, matching the reference
         stats[f"bn_{i}"] = {
             "mean": np.asarray(state[f"{bn}.running_mean"]),
-            "var": std * std,
+            "var": (std + eps) ** 2 - eps,
         }
     params["mean_fc"] = _linear(state, f"{p}mean_fc")
     params["log_variance_fc"] = _linear(state, f"{p}log_variance_fc")

@@ -239,7 +239,12 @@ class MulticameraVideoDataset:
         if shuffle:
             np.random.default_rng(seed).shuffle(order)
         if process_count > 1:
-            order = order[process_index::process_count]
+            # Truncate to a multiple of process_count first: otherwise hosts
+            # get slices whose lengths differ by 1 and (with drop_last) can
+            # yield different batch counts, hanging the collective train step
+            # mid-epoch on the shorter host.
+            usable = (len(order) // process_count) * process_count
+            order = order[:usable][process_index::process_count]
         n_batches = len(order) // batch_size if drop_last else -(-len(order) // batch_size)
         if n_batches == 0:
             return

@@ -92,6 +92,7 @@ class ReconstructedDatasetEvaluator:
         self.detection_threshold = detection_threshold
         self.lpips_fn = lpips_fn
         self.compute_fid = compute_fid
+        self._vgg_selfconsistent = vgg_variables is None
         if vgg_variables is None:
             from playableenvironments_tpu.eval.perceptual import init_vgg19
 
@@ -186,7 +187,14 @@ class ReconstructedDatasetEvaluator:
         if lpips_values:
             results["lpips"] = float(np.mean(lpips_values))
         if vgg_sims:
-            results["vgg_cosine_similarity"] = float(np.mean(vgg_sims))
+            # Random-init features are self-consistent but NOT comparable to
+            # the reference's pretrained-VGG number — flag them in the key.
+            key = (
+                "vgg_cosine_similarity_selfconsistent"
+                if self._vgg_selfconsistent
+                else "vgg_cosine_similarity"
+            )
+            results[key] = float(np.mean(vgg_sims))
         if self.detector is not None:
             results.update(detection.results())
         if fid is not None:
@@ -284,8 +292,11 @@ class ReconstructedPlayabilityDatasetEvaluator(ReconstructedDatasetEvaluator):
                 )
         try:
             results["fvd"] = fvd.compute()
-        except ValueError:
-            pass
+        except ValueError as error:
+            # Too few sequences for covariance estimation etc. — record the
+            # reason instead of silently dropping the metric.
+            print(f"FVD computation failed: {error}")
+            results["fvd_error"] = str(error)
         return results
 
 
@@ -344,4 +355,10 @@ def save_results_yaml(results: Dict[str, float], path: str):
     import yaml
 
     with open(path, "w") as f:
-        yaml.safe_dump({k: float(v) for k, v in results.items()}, f)
+        yaml.safe_dump(
+            {
+                k: (v if isinstance(v, str) else float(v))
+                for k, v in results.items()
+            },
+            f,
+        )

@@ -134,13 +134,22 @@ def frechet_distance(
         # sqrtm on non-finite matrices can take near-unbounded time.
         return float("nan")
     diff = mean_a - mean_b
-    covmean, _ = scipy.linalg.sqrtm(cov_a @ cov_b, disp=False)
+    # eps*I jitter up front: sample covariances from few frames are often
+    # singular and sqrtm on them emits LinAlgWarning / returns non-finite.
+    offset = np.eye(cov_a.shape[0]) * eps
+    covmean = scipy.linalg.sqrtm((cov_a + offset) @ (cov_b + offset))
     if not np.isfinite(covmean).all():
-        offset = np.eye(cov_a.shape[0]) * eps
-        covmean = scipy.linalg.sqrtm((cov_a + offset) @ (cov_b + offset))
+        covmean = scipy.linalg.sqrtm(
+            (cov_a + offset * 1e3) @ (cov_b + offset * 1e3)
+        )
     if np.iscomplexobj(covmean):
         covmean = covmean.real
-    return float(diff @ diff + np.trace(cov_a) + np.trace(cov_b) - 2 * np.trace(covmean))
+    value = float(
+        diff @ diff + np.trace(cov_a) + np.trace(cov_b) - 2 * np.trace(covmean)
+    )
+    # The distance is nonnegative by definition; the eps jitter can push
+    # near-identical distributions a hair below zero (-2*eps*dim).
+    return max(value, 0.0)
 
 
 def frechet_from_features(features_a: np.ndarray, features_b: np.ndarray) -> float:

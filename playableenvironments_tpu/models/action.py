@@ -245,32 +245,103 @@ class ObjectAnimationModel(nn.Module):
             each (bs, T, ...).
         """
         observations_count = rotations.shape[1]
-        rec = (
-            [rotations[:, 0]],
-            [translations[:, 0]],
-            [style[:, 0]],
-            [deformation[:, 0]],
+
+        if not self.is_initializing():
+            # The fused rollout (ops/fused_rollout): the whole T-step chain as
+            # one custom-VJP op instead of ~50 tiny serial HLO ops per step —
+            # phase-3 training is op-dispatch-bound on TPU. The module path
+            # below runs only during init (it declares the parameters).
+            from playableenvironments_tpu.ops import fused_rollout as fr
+
+            rollout_cfg = fr.RolloutConfig(
+                rotation_axis=self.cfg.dynamics.rotation_axis,
+                force_rotations_zero=self.cfg.dynamics.force_rotations_zero,
+                force_axis_translation=(
+                    (
+                        self.force_rotation_axis_translation
+                        if self.force_rotation_axis_translation is not None
+                        else 0.0
+                    )
+                    if self.cfg.dynamics.force_z_translations_zero
+                    else None
+                ),
+                box_size=tuple(
+                    float(hi - lo) for lo, hi in self.bounding_box
+                ),
+            )
+            packed = fr.pack_dynamics_params(
+                self.dynamics_network.variables["params"]
+            )
+            return fr.fused_rollout(
+                rollout_cfg, packed, rotations, translations, style,
+                deformation, actions, action_variations,
+                jnp.asarray(ground_truth_observations, jnp.int32),
+                # Real Pallas kernels on TPU; the pure-XLA path elsewhere
+                # (the kernels run in interpret mode on CPU only in tests).
+                jax.default_backend() != "cpu",
+            )
+
+        state_0 = (rotations[:, 0], translations[:, 0], style[:, 0], deformation[:, 0])
+
+        # Step 0 always consumes the ground-truth initial state (rec[0] is the
+        # GT frame); it also initializes the learnable LSTM carry (carry=None).
+        lstm_carry, state_1 = self.dynamics_network(
+            None, *state_0, actions[:, 0], action_variations[:, 0]
         )
-        carry = None
-        for t in range(observations_count - 1):
+        if observations_count == 2:
+            return tuple(
+                jnp.stack([a, b], axis=1) for a, b in zip(state_0, state_1)
+            )
+
+        # Steps 1..T-2 as a lax.scan over the time axis (the reference's
+        # Python loop, object_animation_model.py:245-307, unrolls the whole
+        # rollout into the graph; scan keeps the program small and
+        # compile-fast). Teacher forcing picks GT vs the previous output with
+        # a traced step counter, so annealing never recompiles.
+        def body(module, carry, xs):
+            cell_carry, prev_state, t = carry
+            gt_state = xs[:4]
+            action, variation = xs[4], xs[5]
             use_gt = t < ground_truth_observations
-
-            def pick(gt, reconstructed):
-                return jnp.where(use_gt, gt, reconstructed)
-
-            current = (
-                pick(rotations[:, t], rec[0][-1]),
-                pick(translations[:, t], rec[1][-1]),
-                pick(style[:, t], rec[2][-1]),
-                pick(deformation[:, t], rec[3][-1]),
+            current = tuple(
+                jnp.where(use_gt, gt, prev)
+                for gt, prev in zip(gt_state, prev_state)
             )
-            carry, next_state = self.dynamics_network(
-                carry, *current, actions[:, t], action_variations[:, t]
+            new_cell_carry, next_state = module(
+                cell_carry, *current, action, variation
             )
-            for buf, value in zip(rec, next_state):
-                buf.append(value)
+            return (new_cell_carry, next_state, t + 1), next_state
 
-        return tuple(jnp.stack(buf, axis=1) for buf in rec)
+        # Fully unrolled: T <= ~16 everywhere, and on TPU a rolled scan of
+        # tiny LSTM steps pays a fixed per-kernel cost serially (profiled at
+        # ~0.1 ms per elementwise op); unrolling lets XLA fuse across
+        # iterations and across objects while keeping the scan's small
+        # program representation at trace time.
+        scan = nn.scan(
+            body,
+            variable_broadcast="params",
+            split_rngs={"params": False},
+            in_axes=1,
+            out_axes=1,
+            unroll=max(observations_count - 2, 1),
+        )
+        xs = (
+            rotations[:, 1:-1],
+            translations[:, 1:-1],
+            style[:, 1:-1],
+            deformation[:, 1:-1],
+            actions[:, 1:],
+            action_variations[:, 1:],
+        )
+        _, states = scan(
+            self.dynamics_network,
+            (lstm_carry, state_1, jnp.asarray(1, jnp.int32)),
+            xs,
+        )
+        return tuple(
+            jnp.concatenate([s0[:, None], s1[:, None], rest], axis=1)
+            for s0, s1, rest in zip(state_0, state_1, states)
+        )
 
     def __call__(
         self,

@@ -23,8 +23,18 @@ def _checkpointer():
     return ocp.PyTreeCheckpointer()
 
 
-def save_checkpoint(directory: str, state: TrainState, step: Optional[int] = None):
-    """Write `<directory>/checkpoint_<step>` (step defaults to state.step)."""
+def save_checkpoint(
+    directory: str,
+    state: TrainState,
+    step: Optional[int] = None,
+    keep: Optional[int] = None,
+):
+    """Write `<directory>/checkpoint_<step>` (step defaults to state.step).
+
+    :param keep: if set, prune the directory to the newest `keep` checkpoints
+        after saving — used for the reference's quick crash-bounding saves
+        (train.py:81-86 saves every 500 steps on top of named checkpoints).
+    """
     step = int(state.step) if step is None else step
     path = os.path.join(os.path.abspath(directory), f"checkpoint_{step}")
     payload = {
@@ -35,6 +45,18 @@ def save_checkpoint(directory: str, state: TrainState, step: Optional[int] = Non
         "extra": state.extra,
     }
     _checkpointer().save(path, payload, force=True)
+    if keep:
+        import shutil
+
+        entries = []
+        for name in os.listdir(directory):
+            if name.startswith("checkpoint_"):
+                try:
+                    entries.append((int(name.split("_")[-1]), name))
+                except ValueError:
+                    continue
+        for _, name in sorted(entries)[:-keep]:
+            shutil.rmtree(os.path.join(directory, name), ignore_errors=True)
     return path
 
 

@@ -362,6 +362,37 @@ def gan_loss(
     raise ValueError(f"unknown gan mode {mode}")
 
 
+def camera_relative_movements(
+    movements: jnp.ndarray, camera_rotations: jnp.ndarray, rotation_axis: int
+) -> jnp.ndarray:
+    """Express world-frame object movements relative to the camera by undoing
+    the camera's rotation around the ground-normal axis (only that axis — the
+    camera tilt is not applied). Reference: playable_model_trainer.py:234-263
+    (get_camera_relative_movements; negated rotation = world-to-camera).
+
+    :param movements: (bs, T-1, 3) world-frame movement vectors.
+    :param camera_rotations: (bs, T, cameras, 3) euler rotations; exactly one
+        camera must be present.
+    :param rotation_axis: the axis normal to the ground (2 for tennis).
+    """
+    from playableenvironments_tpu.core.transforms3d import (
+        rotation_x,
+        rotation_y,
+        rotation_z,
+    )
+
+    if camera_rotations.shape[-2] != 1:
+        raise ValueError(
+            "camera-relative ACMV needs a single camera, got "
+            f"{camera_rotations.shape[-2]}"
+        )
+    if rotation_axis is None:
+        raise ValueError("camera-relative ACMV requires acmv_rotation_axis")
+    angles = -camera_rotations[:, :-1, 0, rotation_axis]
+    matrices = [rotation_x, rotation_y, rotation_z][rotation_axis](angles)
+    return jnp.einsum("btij,btj->bti", matrices, movements)
+
+
 def acmv_loss(
     movements: jnp.ndarray, actions: jnp.ndarray, eps: float = 1e-4
 ) -> jnp.ndarray:

@@ -69,6 +69,11 @@ class PlayableTrainingConfig:
     mutual_information_alpha: float = 0.2
     mutual_information_entropy_lambda: float = 1.0
     gan_mode: str = "lsgan"
+    # Camera-relative ACMV (playable_model_trainer.py:234-263, 418-439):
+    # movements rotated into the camera frame (about the ground-normal axis)
+    # before the variance ratio.
+    use_camera_relative_acmv: bool = False
+    acmv_rotation_axis: Optional[int] = None
     loss_weights: PlayableLossWeights = field(default_factory=PlayableLossWeights)
 
     def ground_truth_observations_at(self, step) -> jnp.ndarray:
@@ -114,6 +119,7 @@ class PlayableTrainer:
         self.playable_model = playable_model
         self.cfg = cfg
         self.object_ids = ObjectIds(environment_model.scene)
+        self.tx_disc = None  # set by init_state when the GAN is enabled
 
     # ------------------------------------------------------------------
 
@@ -133,6 +139,19 @@ class PlayableTrainer:
         encoding = self._scene_encoding(
             environment_params, environment_batch_stats, example_batch, key
         )
+        return self.init_state_from_encoding(
+            key, encoding, environment_params, environment_batch_stats
+        )
+
+    def init_state_from_encoding(
+        self,
+        key: jax.Array,
+        encoding: SceneEncoding,
+        environment_params,
+        environment_batch_stats,
+    ) -> TrainState:
+        """init_state when an encoding is already at hand (cache/bench paths —
+        the playable subtree never needs raw images)."""
         # The dynamics rollout only traces with >= 2 observations; pad the
         # init encoding so every parameter exists even when the example batch
         # is a single frame (e.g. the play CLI's T=1 batches).
@@ -162,9 +181,10 @@ class PlayableTrainer:
         )(rngs, encoding, gt0, self._per_object_centroids(centroids))
         if self.playable_model.with_discriminators:
             def _disc_init(r, v, enc, g, cents):
-                animated = self.playable_model.apply(
+                animated, _ = self.playable_model.apply(
                     v, enc, g, cents,
                     method=PlayableEnvironmentModel.animate, rngs=r,
+                    mutable=["batch_stats"],
                 )
                 return self.playable_model.init(
                     r, animated, enc, False,
@@ -190,12 +210,42 @@ class PlayableTrainer:
                     merged[collection] = extra_coll
             variables = merged
 
-        tx = make_optimizer(
+        # Two optimizers, like the reference's alternated G/D Adam pair
+        # (playable_model_trainer_discriminator.py:195-234): the main tx is
+        # masked to non-discriminator params, the discriminator tx to the
+        # discriminator subtree (its opt state rides in extra). Masking keeps
+        # each pass from polluting the other group's Adam momenta with
+        # zero-grad updates.
+        import optax
+
+        def _mask(params, want_discriminator: bool):
+            return {
+                k: jax.tree.map(
+                    lambda _: k.startswith("discriminator") == want_discriminator, v
+                )
+                for k, v in params.items()
+            }
+
+        base_tx = make_optimizer(
             self.cfg.learning_rate,
             self.cfg.lr_gamma,
             self.cfg.lr_decay_iterations,
             self.cfg.weight_decay,
         )
+        if self.playable_model.with_discriminators:
+            tx = optax.masked(base_tx, lambda p: _mask(p, False))
+            self.tx_disc = optax.masked(
+                make_optimizer(
+                    self.cfg.learning_rate,
+                    self.cfg.lr_gamma,
+                    self.cfg.lr_decay_iterations,
+                    self.cfg.weight_decay,
+                ),
+                lambda p: _mask(p, True),
+            )
+        else:
+            tx = base_tx
+            self.tx_disc = None
         extra = {
             "centroids": {str(i): c for i, c in enumerate(centroids)},
             "mi_matrices": {
@@ -210,6 +260,8 @@ class PlayableTrainer:
                 "batch_stats": environment_batch_stats,
             },
         }
+        if self.tx_disc is not None:
+            extra["disc_opt_state"] = self.tx_disc.init(variables["params"])
         other = {
             k: v for k, v in variables.items() if k not in ("params",)
         }
@@ -254,18 +306,20 @@ class PlayableTrainer:
         params,
         batch_stats,
         extra: Dict,
-        batch: Batch,
+        encoding: SceneEncoding,
         key: jax.Array,
         step: jnp.ndarray,
         generator_pass: bool = True,
     ):
-        """(loss, (metrics, new_batch_stats, new_extra, results, encoding))."""
+        """(loss, (metrics, new_batch_stats, new_extra, results, encoding)).
+
+        Takes the FROZEN scene encoding directly: it is deterministic in eval
+        mode, so the trainer computes it once per batch (or reads it from the
+        precomputed cache) and shares it between the generator and
+        discriminator passes instead of re-running the conv encoders inside
+        every loss (the round-1 1.6 s/step bug)."""
         w = self.cfg.loss_weights
-        env = extra["environment"]
-        key_env, key_anim, key_gumbel = jax.random.split(key, 3)
-        encoding = self._scene_encoding(
-            env["params"], env["batch_stats"], batch, key_env
-        )
+        _, key_anim, key_gumbel = jax.random.split(key, 3)
 
         centroids = self._per_object_centroids(
             [extra["centroids"][str(i)] for i in range(len(self.scene_animation_configs()))]
@@ -282,16 +336,26 @@ class PlayableTrainer:
             False,
             method=PlayableEnvironmentModel.animate,
             rngs={"action_sampling": key_anim, "gumbel": key_gumbel},
-            mutable=["batch_stats", "sn"] if self.playable_model.with_discriminators else ["batch_stats"],
+            mutable=["batch_stats"],
         )
 
         metrics: Dict[str, jnp.ndarray] = {}
         total = jnp.zeros(())
-        new_extra = {
-            "centroids": dict(extra["centroids"]),
-            "mi_matrices": dict(extra["mi_matrices"]),
-            "environment": extra["environment"],
-        }
+        new_extra = dict(extra)  # preserves environment/disc_opt_state leaves
+        new_extra["centroids"] = dict(extra["centroids"])
+        new_extra["mi_matrices"] = dict(extra["mi_matrices"])
+
+        use_gan = (
+            self.playable_model.with_discriminators and generator_pass and w.gan > 0.0
+        )
+        if use_gan:
+            # Score every object's fake sequence in one call so each result
+            # reaches ITS object's discriminator (per-object mapping breaks if
+            # scored one at a time from a singleton list).
+            fake_logits_per_object = self.playable_model.apply(
+                variables, results, encoding, True, False,
+                method=PlayableEnvironmentModel.discriminate,
+            )
 
         for dynamic_idx, res in enumerate(results):
             object_idx = self.object_ids.object_idx_by_dynamic_object_idx(dynamic_idx)
@@ -349,6 +413,12 @@ class PlayableTrainer:
             if w.acmv > 0.0:
                 translations = encoding.object_translations[..., object_idx, :]
                 movements = translations[:, 1:] - translations[:, :-1]
+                if self.cfg.use_camera_relative_acmv:
+                    movements = losses.camera_relative_movements(
+                        movements,
+                        encoding.camera_rotations,
+                        self.cfg.acmv_rotation_axis,
+                    )
                 acmv_validity = validity[:, 1:]
                 probs = jax.nn.softmax(res["action_logits"], axis=-1)
                 mask = acmv_validity[..., None].astype(movements.dtype)
@@ -356,12 +426,10 @@ class PlayableTrainer:
                 object_loss = object_loss + w.acmv * acmv
                 metrics[prefix + "acmv_loss"] = acmv
 
-            if self.playable_model.with_discriminators and generator_pass and w.gan > 0.0:
-                fake_logits = self.playable_model.apply(
-                    variables, [res], encoding, True, False,
-                    method=PlayableEnvironmentModel.discriminate,
-                )[0]
-                gan_g = losses.gan_loss(fake_logits, True, self.cfg.gan_mode)
+            if use_gan:
+                gan_g = losses.gan_loss(
+                    fake_logits_per_object[dynamic_idx], True, self.cfg.gan_mode
+                )
                 object_loss = object_loss + w.gan * gan_g
                 metrics[prefix + "gan_generator_loss"] = gan_g
 
@@ -379,12 +447,18 @@ class PlayableTrainer:
 
     # ------------------------------------------------------------------
 
+    def encode_batch(self, extra: Dict, batch: Batch, key: jax.Array) -> SceneEncoding:
+        """The frozen scene encoding for a raw image batch (shared by the
+        generator and discriminator passes; also the cache-builder kernel)."""
+        env = extra["environment"]
+        return self._scene_encoding(env["params"], env["batch_stats"], batch, key)
+
     def train_step(
-        self, state: TrainState, batch: Batch, key: jax.Array
+        self, state: TrainState, encoding: SceneEncoding, key: jax.Array
     ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
         def loss_fn(params):
             return self.compute_losses(
-                params, state.batch_stats, state.extra, batch, key, state.step
+                params, state.batch_stats, state.extra, encoding, key, state.step
             )
 
         (_, (metrics, new_batch_stats, new_extra, _, _)), grads = jax.value_and_grad(
@@ -395,8 +469,35 @@ class PlayableTrainer:
         )
         return new_state, metrics
 
-    def discriminator_step(
+    def step_with_batch(
         self, state: TrainState, batch: Batch, key: jax.Array
+    ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        """Encode ONCE, then run the generator step and (with GAN) the
+        discriminator step on the shared encoding — one jitted program."""
+        key_env, key_gen, key_disc = jax.random.split(key, 3)
+        encoding = self.encode_batch(state.extra, batch, key_env)
+        return self.fused_step(state, encoding, (key_gen, key_disc))
+
+    def fused_step(
+        self, state: TrainState, encoding: SceneEncoding, keys
+    ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        """Generator + (optional) discriminator update on one encoding.
+
+        :param keys: (generator_key, discriminator_key) or a single key."""
+        if isinstance(keys, tuple):
+            key_gen, key_disc = keys
+        else:
+            key_gen, key_disc = jax.random.split(keys)
+        state, metrics = self.train_step(state, encoding, key_gen)
+        if self.playable_model.with_discriminators:
+            state, disc_metrics = self.discriminator_step(
+                state, encoding, key_disc
+            )
+            metrics = {**metrics, **disc_metrics}
+        return state, metrics
+
+    def discriminator_step(
+        self, state: TrainState, encoding: SceneEncoding, key: jax.Array
     ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
         """GAN discriminator pass: real = GT encodings, fake = detached
         reconstructions (playable_model_trainer_discriminator.py:195-234,
@@ -404,18 +505,17 @@ class PlayableTrainer:
 
         def disc_loss_fn(params):
             variables = {"params": params, "batch_stats": state.batch_stats}
-            env = state.extra["environment"]
-            key_env, key_anim, key_gumbel = jax.random.split(key, 3)
-            encoding = self._scene_encoding(
-                env["params"], env["batch_stats"], batch, key_env
-            )
+            _, key_anim, key_gumbel = jax.random.split(key, 3)
             centroids = self._per_object_centroids(
                 [
                     state.extra["centroids"][str(i)]
                     for i in range(len(self.scene_animation_configs()))
                 ]
             )
-            results = self.playable_model.apply(
+            # Batch-statistics BN like the reference's train-mode forward;
+            # the mutations are discarded (the generator pass owns the
+            # running-stat updates for this step).
+            results, _ = self.playable_model.apply(
                 variables,
                 encoding,
                 self.cfg.ground_truth_observations_at(state.step),
@@ -424,17 +524,18 @@ class PlayableTrainer:
                 False,
                 method=PlayableEnvironmentModel.animate,
                 rngs={"action_sampling": key_anim, "gumbel": key_gumbel},
+                mutable=["batch_stats"],
             )
             results = jax.lax.stop_gradient(results)
             real_logits = self.playable_model.apply(
                 variables, results, encoding, False, True,
                 method=PlayableEnvironmentModel.discriminate,
-                mutable=["sn"],
+                mutable=["batch_stats"],
             )[0]
             fake_logits = self.playable_model.apply(
                 variables, results, encoding, True, True,
                 method=PlayableEnvironmentModel.discriminate,
-                mutable=["sn"],
+                mutable=["batch_stats"],
             )[0]
             loss = jnp.zeros(())
             for real, fake in zip(real_logits, fake_logits):
@@ -442,6 +543,17 @@ class PlayableTrainer:
                 loss = loss + losses.gan_loss(fake, False, self.cfg.gan_mode)
             return loss
 
+        import optax
+
         loss, grads = jax.value_and_grad(disc_loss_fn)(state.params)
-        new_state = state.apply_gradients(grads)
+        # Discriminator optimizer (masked to the discriminator subtree; its
+        # state lives in extra). The D pass does NOT advance the step counter:
+        # one G+D pair is one optimization step, as in the reference.
+        updates, new_disc_opt = self.tx_disc.update(
+            grads, state.extra["disc_opt_state"], state.params
+        )
+        new_state = state.replace(
+            params=optax.apply_updates(state.params, updates),
+            extra={**state.extra, "disc_opt_state": new_disc_opt},
+        )
         return new_state, {"discriminator_loss": loss}

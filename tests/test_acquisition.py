@@ -234,3 +234,104 @@ def test_annotate_dataset_boxes(tmp_path, flat_dataset):
     np.testing.assert_allclose(boxes[:, 0], [0.1, 0.2, 0.3, 0.6], atol=1e-6)
     validity = np.asarray(camera.bounding_boxes_validity[0])
     assert validity[0] and not validity[1]  # one detection, one empty slot
+
+
+# ---------------------------------------------------------------------------
+# Tennis ingest end to end (tiny mp4 -> sequences -> calibration -> boxes ->
+# splits; reference pipeline steps 1-6)
+# ---------------------------------------------------------------------------
+
+def test_tennis_ingest_end_to_end(tmp_path):
+    cv2 = pytest.importorskip("cv2")
+    import sys
+    import yaml
+
+    from playableenvironments_tpu.data.dataset import MulticameraVideoDataset
+    from playableenvironments_tpu.data.video import Video
+
+    # --- a tiny 10 fps mp4 (3 s = 30 frames)
+    video_path = str(tmp_path / "match.mp4")
+    writer = cv2.VideoWriter(
+        video_path, cv2.VideoWriter_fourcc(*"mp4v"), 10, (64, 48)
+    )
+    assert writer.isOpened(), "cv2 mp4v writer unavailable"
+    for i in range(30):
+        frame = np.full((48, 64, 3), i * 8 % 255, np.uint8)
+        writer.write(frame)
+    writer.release()
+
+    # --- annotation YAML in the reference's split-relative format:
+    # two segments of split 0 that merge (gap < 0.5 s) + one separate.
+    annotations = {
+        "match_split_00000.mp4": [
+            {"start": 0.0, "end": 0.8},
+            {"start": 1.0, "end": 1.6},
+            {"start": 2.2, "end": 2.9},
+        ]
+    }
+    annotations_path = str(tmp_path / "annotations.yaml")
+    yaml.safe_dump(annotations, open(annotations_path, "w"))
+
+    def run_cli(*args):
+        from playableenvironments_tpu.cli import acquire
+
+        argv = sys.argv
+        sys.argv = ["acquire"] + list(args)
+        try:
+            acquire.main()
+        finally:
+            sys.argv = argv
+
+    # --- step 1+4: sequences + frames
+    raw_root = str(tmp_path / "raw")
+    run_cli(
+        "tennis", "--video", video_path, "--annotations", annotations_path,
+        "--splits_duration", "600", "--output", raw_root,
+    )
+    sequences = sorted(os.listdir(raw_root))
+    assert sequences == ["00000", "00001"]  # first two segments merged
+    video0 = Video().load(os.path.join(raw_root, "00000", "00000"))
+    assert video0.frames_count >= 10  # ~1.6 s @ 10 fps of merged segment
+    assert video0.get_frame(0).shape == (48, 64, 3)
+
+    # --- step 2: calibration from synthetic court keypoints
+    rot = np.asarray([1.2, 0.05, -0.02])
+    trans = np.asarray([1.5, -25.0, 8.0])
+    _, proj = _synthetic_court_view(rot, trans, 1400.0, (2560, 1440))
+    points_path = str(tmp_path / "points.txt")
+    with open(points_path, "w") as f:
+        for x, y in proj:
+            f.write(f"{x} {y}\n")
+    camera_dir = os.path.join(raw_root, "00000", "00000")
+    run_cli(
+        "calibrate", "--image_points", points_path,
+        "--width", "2560", "--height", "1440", "--camera_dir", camera_dir,
+    )
+    video0 = Video().load(camera_dir)
+    np.testing.assert_allclose(video0.cameras[0].rotation, rot, atol=1e-3)
+    assert abs(video0.focals[0] - 1400.0) < 2.0
+
+    # --- step 3: boxes via an injected detector (the CLI wraps a trained
+    # checkpoint; annotate_dataset_boxes is the shared path)
+    from playableenvironments_tpu.acquisition.boxes import annotate_dataset_boxes
+
+    def fake_detector(frame):
+        return np.asarray([[0.1, 0.2, 0.3, 0.6], [0.5, 0.2, 0.7, 0.6]]), np.asarray([0.9, 0.8])
+
+    annotated = annotate_dataset_boxes(raw_root, fake_detector, objects_count=2)
+    assert annotated > 0
+
+    # --- steps 5/6: train/val/test split
+    split_root = str(tmp_path / "dataset")
+    run_cli(
+        "split", "--root", raw_root, "--output", split_root,
+        "--train", "0.5", "--val", "0.5",
+    )
+    # The split tree is a loadable dataset.
+    found = []
+    for split in ("train", "val", "test"):
+        split_dir = os.path.join(split_root, split)
+        if os.path.isdir(split_dir) and os.listdir(split_dir):
+            dataset = MulticameraVideoDataset(split_dir, observations_count=1)
+            found.append((split, len(dataset)))
+    assert found, "no split produced any videos"

@@ -213,16 +213,21 @@ def phase3_setup(tmp_path_factory):
         jax.random.PRNGKey(0), batch,
         env_variables["params"], env_variables.get("batch_stats", {}),
     )
-    return trainer, state, batch
+    return trainer, state, batch, dataset
 
 
 def test_phase3_train_step(phase3_setup):
-    trainer, state, batch = phase3_setup
-    step = jax.jit(trainer.train_step)
+    trainer, state, batch, _ = phase3_setup
+    # Encode once (frozen, deterministic), then step on the cached encoding —
+    # the production phase-3 path (EncodingCache + fused_step).
+    encoding = jax.jit(trainer.encode_batch)(
+        state.extra, batch, jax.random.PRNGKey(100)
+    )
+    step = jax.jit(trainer.fused_step)
     first, last = None, None
     st = state
     for i in range(8):
-        st, metrics = step(st, batch, jax.random.PRNGKey(i))
+        st, metrics = step(st, encoding, jax.random.PRNGKey(i))
         loss = float(metrics["loss"])
         if first is None:
             first = loss
@@ -245,9 +250,208 @@ def test_phase3_train_step(phase3_setup):
 
 
 def test_phase3_annealing_schedules(phase3_setup):
-    trainer, _, _ = phase3_setup
+    trainer, _, _, _ = phase3_setup
     cfg = trainer.cfg
     assert int(cfg.ground_truth_observations_at(0)) == 2
     assert int(cfg.ground_truth_observations_at(100)) == 4
     assert cfg.observations_count_at(0) == 7
     assert cfg.observations_count_at(25000) == 9
+
+
+def test_phase3_gan_fused_step(phase3_setup, tmp_path):
+    """GAN path: one fused step = generator + discriminator updates on a
+    SHARED encoding; separate masked optimizers (reference alternates two
+    Adams, playable_model_trainer_discriminator.py:195-234); the step counter
+    advances once per G+D pair."""
+    import dataclasses
+
+    from playableenvironments_tpu.render.playable_model import (
+        PlayableEnvironmentModel,
+    )
+    from playableenvironments_tpu.train.trainer_playable import (
+        PlayableLossWeights,
+        PlayableTrainer,
+    )
+
+    base_trainer, base_state, batch, _ = phase3_setup
+    env_model = base_trainer.environment_model
+    cfg = dataclasses.replace(
+        base_trainer.cfg,
+        loss_weights=PlayableLossWeights(gan=0.1),
+    )
+    playable = PlayableEnvironmentModel(env_model.scene, with_discriminators=True)
+    trainer = PlayableTrainer(env_model, playable, cfg)
+    env = base_state.extra["environment"]  # frozen phase-2 variables
+    state = trainer.init_state(
+        jax.random.PRNGKey(0), batch, env["params"], env["batch_stats"]
+    )
+    assert "disc_opt_state" in state.extra
+
+    encoding = jax.jit(trainer.encode_batch)(
+        state.extra, batch, jax.random.PRNGKey(5)
+    )
+    step = jax.jit(trainer.fused_step)
+    st = state
+    for i in range(2):
+        st, metrics = step(st, encoding, jax.random.PRNGKey(i))
+    assert np.isfinite(float(metrics["loss"]))
+    assert np.isfinite(float(metrics["discriminator_loss"]))
+    assert "object_1_gan_generator_loss" in metrics
+    # One optimization step per G+D pair.
+    assert int(st.step) == 2
+
+    # Both parameter groups moved.
+    def changed(prefix):
+        before = {k: v for k, v in state.params.items() if k.startswith(prefix)}
+        after = {k: v for k, v in st.params.items() if k.startswith(prefix)}
+        leaves_before = jax.tree.leaves(before)
+        leaves_after = jax.tree.leaves(after)
+        return any(
+            not np.allclose(np.asarray(a), np.asarray(b))
+            for a, b in zip(leaves_before, leaves_after)
+        )
+
+    assert changed("animation_model")
+    assert changed("discriminator")
+
+
+# ---------------------------------------------------------------------------
+# Phase-3 encoding cache
+# ---------------------------------------------------------------------------
+
+
+def _fake_cache():
+    from playableenvironments_tpu.scene.encoding import SceneEncoding
+    from playableenvironments_tpu.train.encoding_cache import EncodingCache
+
+    frames = 11  # video 0: 6 frames, video 1: 5 frames
+    rng = np.random.default_rng(0)
+    enc = SceneEncoding(
+        camera_rotations=rng.normal(size=(frames, 1, 3)).astype(np.float32),
+        camera_translations=rng.normal(size=(frames, 1, 3)).astype(np.float32),
+        focals=rng.normal(size=(frames, 1)).astype(np.float32),
+        object_rotations=rng.normal(size=(frames, 2, 3)).astype(np.float32),
+        object_translations=rng.normal(size=(frames, 2, 3)).astype(np.float32),
+        object_style=rng.normal(size=(frames, 2, 4)).astype(np.float32),
+        object_deformation=rng.normal(size=(frames, 2, 2)).astype(np.float32),
+        object_in_scene=np.ones((frames, 2), bool),
+    )
+    return EncodingCache(enc, [(0, 6), (6, 5)], skip_frames=0)
+
+
+def test_encoding_cache_windows_and_gather():
+    cache = _fake_cache()
+    starts = cache.windows(3)
+    # (6-3+1) + (5-3+1) = 7 windows; none crosses a video boundary.
+    assert len(starts) == 7
+    assert set(starts.tolist()) == {0, 1, 2, 3, 6, 7, 8}
+    batch = cache.gather_windows(np.asarray([0, 6]), 3)
+    assert batch.object_style.shape == (2, 3, 2, 4)
+    np.testing.assert_array_equal(
+        np.asarray(batch.object_style[1]), cache.encoding.object_style[6:9]
+    )
+
+
+def test_encoding_cache_multihost_balance():
+    cache = _fake_cache()
+    # 7 windows over 2 processes: truncated to 6 -> 3 each -> equal batch
+    # counts (the per-process slicing fix).
+    counts = [
+        len(list(cache.iterate_encoding_batches(
+            2, 3, seed=1, process_index=p, process_count=2
+        )))
+        for p in (0, 1)
+    ]
+    assert counts[0] == counts[1] == 1
+
+
+def test_encoding_cache_save_load(tmp_path):
+    cache = _fake_cache()
+    path = str(tmp_path / "cache.npz")
+    cache.save(path)
+    from playableenvironments_tpu.train.encoding_cache import EncodingCache
+
+    loaded = EncodingCache.load(path)
+    assert loaded.video_slices == cache.video_slices
+    assert loaded.skip_frames == cache.skip_frames
+    np.testing.assert_array_equal(
+        loaded.encoding.object_style, cache.encoding.object_style
+    )
+
+
+def test_encoding_cache_build_matches_direct(phase3_setup):
+    """The cache path is EXACTLY the on-the-fly encoding: frozen eval-mode
+    encodings are key-independent, so cached windows match direct batch
+    encodings bit-for-bit (up to float accumulation)."""
+    import os
+
+    from playableenvironments_tpu.train.encoding_cache import EncodingCache
+
+    trainer, state, batch, dataset = phase3_setup
+    encode_fn = jax.jit(
+        lambda b, k: trainer.encode_batch(state.extra, b, k)
+    )
+    cache = EncodingCache.build(
+        encode_fn, dataset, jax.random.PRNGKey(3), batch_size=4
+    )
+    assert dataset.observations_count == 5  # restored after the build
+
+    # The fixture batch is shuffled; take the deterministic first windows.
+    batch0 = next(dataset.iterate_batches(2, shuffle=False))
+    direct = encode_fn(batch0, jax.random.PRNGKey(99))
+    starts = cache.windows(5)[:2]  # first batch of shuffle=False iteration
+    cached = cache.gather_windows(np.asarray(starts), 5)
+    for name in ("object_rotations", "object_translations", "object_style",
+                 "object_deformation"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(direct, name)), getattr(cached, name), atol=1e-5,
+        )
+
+
+def test_phase3_multidevice_step(phase3_setup):
+    """Phase-3 fused step over a 2-device data mesh (VERDICT: phases 1/3 must
+    be mesh citizens like phase 2)."""
+    from playableenvironments_tpu.parallel import create_mesh, replicate, shard_batch
+
+    trainer, state, batch, _ = phase3_setup
+    encoding = jax.jit(trainer.encode_batch)(
+        state.extra, batch, jax.random.PRNGKey(4)
+    )
+    before = int(state.step)
+    mesh = create_mesh(jax.devices()[:2])
+    sharded = shard_batch(encoding, mesh)
+    # Fresh copies: donation must not delete the module-scoped fixture state.
+    rep_state = replicate(jax.tree.map(jnp.array, state), mesh)
+    step = jax.jit(trainer.fused_step, donate_argnums=0)
+    new_state, metrics = step(rep_state, sharded, jax.random.PRNGKey(5))
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(new_state.step) == before + 1
+
+
+def test_playable_evaluator(phase3_setup, tmp_path):
+    """Phase-3 training-time evaluator (reference
+    playable_model_evaluator.py:88-375): validation losses, per-action
+    generated videos, and a zero-variation re-enactment strip."""
+    import os
+
+    from playableenvironments_tpu.eval.playable_evaluator import (
+        PlayableModelEvaluator,
+    )
+    from playableenvironments_tpu.utils.logger import Logger
+
+    trainer, state, batch, dataset = phase3_setup
+    evaluator = PlayableModelEvaluator(
+        trainer, dataset, str(tmp_path),
+        batch_size=2, val_batches=1, action_video_frames=3,
+    )
+    logger = Logger(str(tmp_path), "p3_eval", use_wandb=False)
+    losses_out = evaluator.evaluate(state, logger, step=1)
+    logger.close()
+
+    assert np.isfinite(losses_out["val_loss"])
+    assert any(k.startswith("val_object_") for k in losses_out)
+    out_dir = os.path.join(tmp_path, "playable_eval", "step_1")
+    actions_count = trainer.scene_animation_configs()[0].actions_count
+    gifs = [f for f in os.listdir(out_dir) if f.endswith(".gif")]
+    assert len([g for g in gifs if g.startswith("action_")]) == actions_count
+    assert "reenactment.gif" in gifs

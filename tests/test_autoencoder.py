@@ -310,3 +310,34 @@ def test_encoder_mixed_full_frame_decode():
     frame = mixed["coarse"]["global"]["reconstructed_observations"]
     assert frame.shape == (1, 1, 1, 64, 64, 3)
     assert np.isfinite(np.asarray(frame)).all()
+
+
+def test_autoencoder_evaluator(key, tmp_path):
+    """Phase-1 training-time evaluator (reference autoencoder_evaluator.py):
+    val losses logged + GT/reconstruction grid image written."""
+    import json
+    import os
+
+    from playableenvironments_tpu.eval.autoencoder_evaluator import (
+        AutoencoderEvaluator,
+    )
+    from playableenvironments_tpu.utils.logger import Logger
+
+    trainer = AutoencoderTrainer(
+        AE_CFG, AutoencoderTrainingConfig(learning_rate=1e-3, kl_lambda=1e-6)
+    )
+    images = jax.random.uniform(key, (4, 16, 16, 3))
+    state = trainer.init_state(key, images)
+    evaluator = AutoencoderEvaluator(trainer, np.asarray(images))
+    logger = Logger(str(tmp_path), "ae_eval", use_wandb=False)
+    scalars = evaluator.evaluate(state, logger, step=1)
+    logger.close()
+
+    assert np.isfinite(scalars["val_reconstruction_loss"])
+    assert "val_kl_loss_level_0" in scalars
+    assert "val_latent_variance_level_0" in scalars
+    lines = open(os.path.join(tmp_path, "metrics.jsonl")).read().strip().splitlines()
+    logged = json.loads(lines[-1])
+    assert "val_reconstruction_loss" in logged
+    images_dir = os.path.join(tmp_path, "images")
+    assert any("autoencoder_reconstruction" in f for f in os.listdir(images_dir))

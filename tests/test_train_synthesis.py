@@ -132,6 +132,30 @@ def test_masked_mean_and_acmv():
     assert low < 0.05 and high > 0.5
 
 
+def test_camera_relative_movements():
+    """Hand-built fixture for both frames (playable_model_trainer.py:234-263):
+    the world movement is rotated by MINUS the camera yaw about the
+    ground-normal axis; tilt components are untouched."""
+    movements = jnp.asarray([[[1.0, 0.0, 0.0]]])  # (bs=1, T-1=1, 3)
+    # Camera yawed +90 deg about z (T=2 frames, 1 camera); only frame 0 counts.
+    half_pi = float(np.pi / 2)
+    cams = jnp.asarray([[[[0.3, 0.1, half_pi]], [[0.0, 0.0, 0.0]]]])  # (1,2,1,3)
+    out = losses.camera_relative_movements(movements, cams, rotation_axis=2)
+    # R_z(-90deg) @ [1,0,0] = [0,-1,0].
+    np.testing.assert_allclose(np.asarray(out[0, 0]), [0.0, -1.0, 0.0], atol=1e-6)
+
+    # World frame (identity camera) is the identity transform.
+    cams_id = jnp.zeros((1, 2, 1, 3))
+    out_id = losses.camera_relative_movements(movements, cams_id, rotation_axis=2)
+    np.testing.assert_allclose(np.asarray(out_id), np.asarray(movements), atol=1e-7)
+
+    # Two cameras must be rejected (reference raises too).
+    with pytest.raises(ValueError):
+        losses.camera_relative_movements(
+            movements, jnp.zeros((1, 2, 2, 3)), rotation_axis=2
+        )
+
+
 def test_mutual_information_smoothing_state():
     d = jax.nn.one_hot(jnp.asarray([0, 1, 2, 0, 1, 2]), 3)
     loss1, matrix = losses.mutual_information_loss(d, d)

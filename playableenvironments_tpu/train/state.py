@@ -85,13 +85,8 @@ def make_optimizer(
         else:
             schedule = base
         if weight_decay:
-            inner = optax.adamw(schedule, weight_decay=weight_decay)
-        else:
-            inner = optax.adam(schedule)
-        # One fused update over a single flat vector instead of per-leaf op
-        # chains: a tree of N leaves otherwise executes ~10N tiny HLO ops per
-        # step, which dominates wall time on op-dispatch-bound TPU harnesses.
-        return optax.flatten(inner)
+            return optax.adamw(schedule, weight_decay=weight_decay)
+        return optax.adam(schedule)
 
     if not group_learning_rates:
         return adam(learning_rate)

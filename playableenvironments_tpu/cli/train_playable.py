@@ -188,12 +188,34 @@ def main():
     local_batch = batch_size // process_count
     state = replicate(state, mesh)
 
-    step_fn = jax.jit(trainer.fused_step, donate_argnums=0)
+    # The fused step runs in well under a millisecond on TPU (encoding cache
+    # + Pallas rollout kernels), so per-call dispatch would dominate; chain
+    # `steps_per_call` optimization steps into one lax.scan executable and
+    # feed it a stacked block of encoding batches.
+    steps_per_call = max(int(t.get("steps_per_call", 8)), 1)
+
+    import functools
+
+    @functools.partial(jax.jit, donate_argnums=0)
+    def multi_step(state, stacked_encodings, key):
+        def body(carry, xs):
+            enc, k = xs
+            new_state, metrics = trainer.fused_step(carry, enc, k)
+            return new_state, metrics
+
+        keys = jax.random.split(key, steps_per_call)
+        return jax.lax.scan(body, state, (stacked_encodings, keys))
+
+    single_step = jax.jit(trainer.fused_step, donate_argnums=0)
+
     meter = AverageMeter()
     log_interval = int(t.get("log_interval_steps", 10))
     save_freq = int(t.get("save_freq", 10000))
     quick_save_freq = int(t.get("quick_save_freq", 500))
     eval_freq = int(t.get("eval_freq", 0))
+
+    def crossed(before, after, freq):
+        return freq > 0 and (before // freq) != (after // freq)
 
     evaluator = None
     if eval_freq:
@@ -205,37 +227,66 @@ def main():
             cfg, trainer, dataset, results_dir, seed=args.seed
         )
 
+    import numpy as np
+
+    def housekeeping(state, before):
+        """Logging / checkpoints / eval whenever their interval was crossed."""
+        step = int(state.step)
+        if crossed(before, step, log_interval) and is_main:
+            logger.log(meter.pop_all(), step)
+        if (
+            crossed(before, step, save_freq) or step >= train_cfg.max_steps
+        ) and is_main:
+            checkpointing.save_checkpoint(checkpoints_dir, jax.device_get(state))
+        elif crossed(before, step, quick_save_freq) and is_main:
+            # Crash-bounding quick saves (reference train.py:81-86).
+            checkpointing.save_checkpoint(
+                quick_dir, jax.device_get(state), keep=2
+            )
+        if evaluator is not None and crossed(before, step, eval_freq) and is_main:
+            evaluator.evaluate(jax.device_get(state), logger, step)
+        return step
+
     epoch = 0
     while int(state.step) < train_cfg.max_steps:
         # Sequence-length annealing is index arithmetic over the cache
         # (playable_model_trainer.py:537-561 re-indexes the dataset).
         current_length = train_cfg.observations_count_at(int(state.step))
+        pending = []
+        stop_epoch = False
         for encoding in cache.iterate_encoding_batches(
             local_batch, current_length, seed=args.seed + epoch,
             process_index=process_index, process_count=process_count,
         ):
+            pending.append(encoding)
+            if len(pending) < steps_per_call:
+                continue
+            # Stack the block (leading step axis) and shard each step's
+            # batch axis (axis 1) over the mesh.
+            stacked = jax.tree.map(lambda *leaves: np.stack(leaves), *pending)
+            pending = []
+            stacked = shard_batch(stacked, mesh, leading_axes=1)
+            before = int(state.step)
+            key = jax.random.fold_in(jax.random.PRNGKey(args.seed), before)
+            state, metrics = multi_step(state, stacked, key)
+            means = jax.tree.map(lambda v: v.mean(), metrics)
+            meter.add({k: float(v) for k, v in means.items()})
+            step = housekeeping(state, before)
+            if step >= train_cfg.max_steps or (
+                train_cfg.observations_count_at(step) != current_length
+            ):
+                stop_epoch = True
+                break
+        # Epoch remainder (fewer batches than steps_per_call): single steps.
+        for encoding in ([] if stop_epoch else pending):
             encoding = shard_batch(encoding, mesh)
-            key = jax.random.fold_in(jax.random.PRNGKey(args.seed), int(state.step))
-            state, metrics = step_fn(state, encoding, key)
-            step = int(state.step)
+            before = int(state.step)
+            key = jax.random.fold_in(jax.random.PRNGKey(args.seed), before)
+            state, metrics = single_step(state, encoding, key)
             meter.add({k: float(v) for k, v in metrics.items()})
-            if step % log_interval == 0 and is_main:
-                logger.log(meter.pop_all(), step)
-            if (step % save_freq == 0 or step >= train_cfg.max_steps) and is_main:
-                checkpointing.save_checkpoint(
-                    checkpoints_dir, jax.device_get(state)
-                )
-            elif step % quick_save_freq == 0 and is_main:
-                # Crash-bounding quick saves (reference train.py:81-86).
-                checkpointing.save_checkpoint(
-                    quick_dir, jax.device_get(state), keep=2
-                )
-            if evaluator is not None and step % eval_freq == 0 and is_main:
-                evaluator.evaluate(jax.device_get(state), logger, step)
+            step = housekeeping(state, before)
             if step >= train_cfg.max_steps:
                 break
-            if train_cfg.observations_count_at(step) != current_length:
-                break  # re-window the cache at the new sequence length
         epoch += 1
     if is_main:
         checkpointing.save_checkpoint(checkpoints_dir, jax.device_get(state))

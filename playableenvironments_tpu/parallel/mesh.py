@@ -36,13 +36,22 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, PartitionSpec())
 
 
-def shard_batch(batch: Any, mesh: Mesh, axis_name: str = DATA_AXIS) -> Any:
-    """Place a host batch pytree on the mesh, leading axis sharded.
+def shard_batch(
+    batch: Any, mesh: Mesh, axis_name: str = DATA_AXIS, leading_axes: int = 0
+) -> Any:
+    """Place a host batch pytree on the mesh, batch axis sharded.
+
+    :param leading_axes: number of unsharded axes BEFORE the batch axis
+        (e.g. 1 for a (steps, batch, ...) stacked block of batches).
 
     Multi-host (DCN): each process holds ITS slice of the global batch
     (dataset.iterate_batches(process_index=...)); the slices assemble into
     one global array per leaf without any cross-host copy."""
-    sharding = batch_sharding(mesh, axis_name)
+    if leading_axes:
+        spec = PartitionSpec(*([None] * leading_axes + [axis_name]))
+        sharding = NamedSharding(mesh, spec)
+    else:
+        sharding = batch_sharding(mesh, axis_name)
 
     if jax.process_count() > 1:
         def place(x):

@@ -341,3 +341,22 @@ def test_autoencoder_evaluator(key, tmp_path):
     assert "val_reconstruction_loss" in logged
     images_dir = os.path.join(tmp_path, "images")
     assert any("autoencoder_reconstruction" in f for f in os.listdir(images_dir))
+
+
+def test_autoencoder_trainer_multidevice(key):
+    """Phase-1 train step over a 2-device data mesh (VERDICT: phases 1/3 must
+    be mesh citizens like phase 2)."""
+    from playableenvironments_tpu.parallel import create_mesh, replicate, shard_batch
+
+    trainer = AutoencoderTrainer(
+        AE_CFG, AutoencoderTrainingConfig(learning_rate=1e-3, kl_lambda=1e-6)
+    )
+    images = jax.random.uniform(key, (4, 16, 16, 3))
+    state = trainer.init_state(key, images)
+    mesh = create_mesh(jax.devices()[:2])
+    sharded = shard_batch(jnp.asarray(images), mesh)
+    rep_state = replicate(jax.tree.map(jnp.array, state), mesh)
+    step = jax.jit(trainer.train_step, donate_argnums=0)
+    new_state, metrics = step(rep_state, sharded, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
+    assert len(sharded.sharding.device_set) == 2

@@ -33,6 +33,44 @@ IMAGENET_MEAN = np.asarray([0.485, 0.456, 0.406], np.float32)
 IMAGENET_STD = np.asarray([0.229, 0.224, 0.225], np.float32)
 
 
+@jax.custom_vjp
+def _max_pool_2x2(x):
+    """2x2/2 max pool with an equality-mask backward.
+
+    XLA's native max-pool gradient is a `select-and-scatter`, the single
+    most expensive op class in the phase-1 profile on TPU. The backward here
+    upsamples the pooled maxima and cotangents and routes gradient to every
+    input equal to its window's max — pure elementwise/broadcast work. (Tied
+    maxima each receive the full cotangent instead of one winner; ties are
+    measure-zero for float activations.)
+    """
+    return nn.max_pool(x, (2, 2), strides=(2, 2))
+
+
+def _max_pool_2x2_fwd(x):
+    y = nn.max_pool(x, (2, 2), strides=(2, 2))
+    return y, (x, y)
+
+
+def _upsample_2x(t, height, width):
+    t = jnp.repeat(jnp.repeat(t, 2, axis=1), 2, axis=2)
+    return jnp.pad(
+        t,
+        ((0, 0), (0, height - t.shape[1]), (0, width - t.shape[2]), (0, 0)),
+    )
+
+
+def _max_pool_2x2_bwd(residual, g):
+    x, y = residual
+    height, width = x.shape[1], x.shape[2]
+    up_y = _upsample_2x(y, height, width)
+    up_g = _upsample_2x(g, height, width)
+    return (jnp.where(x == up_y, up_g, jnp.zeros_like(up_g)),)
+
+
+_max_pool_2x2.defvjp(_max_pool_2x2_fwd, _max_pool_2x2_bwd)
+
+
 class VGGFeatures(nn.Module):
     """VGG backbone emitting intermediate relu activations at the given cuts.
 
@@ -56,7 +94,7 @@ class VGGFeatures(nn.Module):
             if block_idx > max_block:
                 break
             if block_idx > 0:
-                x = nn.max_pool(x, (2, 2), strides=(2, 2))
+                x = _max_pool_2x2(x)
             for conv_idx, width in enumerate(widths):
                 x = nn.Conv(
                     width, (3, 3), dtype=dtype, name=f"conv{block_idx}_{conv_idx}"

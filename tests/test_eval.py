@@ -290,3 +290,27 @@ def test_frame_renderer_multidevice(eval_setup):
     frames = np.asarray(renderer.render(encoding))
     assert frames.shape == (2, 1, 1, 16, 24, 3)
     assert np.isfinite(frames).all()
+
+
+def test_max_pool_custom_vjp_matches_autodiff(key):
+    """The equality-mask max-pool backward equals XLA autodiff of nn.max_pool
+    (away from ties), including odd spatial dims."""
+    import flax.linen as nn
+
+    from playableenvironments_tpu.eval import perceptual
+
+    for h, w in ((8, 12), (7, 9)):
+        x = jax.random.normal(key, (2, h, w, 3))
+        g = jax.random.normal(jax.random.PRNGKey(1), (2, h // 2, w // 2, 3))
+
+        def loss_custom(x):
+            return jnp.sum(perceptual._max_pool_2x2(x) * g)
+
+        def loss_ref(x):
+            return jnp.sum(nn.max_pool(x, (2, 2), strides=(2, 2)) * g)
+
+        np.testing.assert_allclose(
+            np.asarray(jax.grad(loss_custom)(x)),
+            np.asarray(jax.grad(loss_ref)(x)),
+            atol=1e-6,
+        )

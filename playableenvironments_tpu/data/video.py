@@ -114,6 +114,17 @@ def _load_image(path: str) -> np.ndarray:
         return np.asarray(img.convert("RGB"), dtype=np.float32) / 255.0
 
 
+def _resize_image(array: np.ndarray, target_size: Tuple[int, int]) -> np.ndarray:
+    """Bicubic resize of a (H, W, 3) float [0, 1] frame to (height, width)."""
+    from PIL import Image
+
+    img = Image.fromarray(
+        np.clip(np.asarray(array) * 255.0, 0, 255).astype(np.uint8)
+    )
+    resized = img.resize((target_size[1], target_size[0]), Image.BICUBIC)
+    return np.asarray(resized, dtype=np.float32) / 255.0
+
+
 def _save_image(array: np.ndarray, path: str):
     if path.lower().endswith(".png"):
         from playableenvironments_tpu.data import native_loader
@@ -351,6 +362,33 @@ class Video:
                 self.get_frame(idx), os.path.join(path, _frame_name(idx) + ".png")
             )
         self.save_annotations(path)
+
+    def save_moco(
+        self,
+        path: str,
+        extension: str = "png",
+        target_size: Optional[Tuple[int, int]] = None,
+    ):
+        """Export to the MoCoGAN strip format: every frame concatenated
+        horizontally into one `{path}.{extension}` image
+        (dataset/video.py:733-763). `target_size` is (width, height).
+        """
+        if os.path.exists(f"{path}.{extension}"):
+            raise FileExistsError(f"'{path}.{extension}' already exists")
+        frames = [self.get_frame(idx) for idx in range(self.frames_count)]
+        if target_size is not None:
+            width, height = target_size
+            frames = [_resize_image(frame, (height, width)) for frame in frames]
+        max_height = max(frame.shape[0] for frame in frames)
+        frames = [
+            np.pad(frame, ((0, max_height - frame.shape[0]), (0, 0), (0, 0)))
+            for frame in frames
+        ]
+        strip = np.concatenate(frames, axis=1)
+        parent = os.path.dirname(path)
+        if parent:
+            os.makedirs(parent, exist_ok=True)
+        _save_image(strip, f"{path}.{extension}")
 
     def save_annotations(self, path: str):
         """Write only the pickled annotation files (no frame PNGs)."""

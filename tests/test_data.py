@@ -70,6 +70,34 @@ def test_video_roundtrip(tmp_path):
     assert loaded.dynamic_objects_count == 1
 
 
+def test_video_save_moco_strip(tmp_path):
+    """save_moco writes a single horizontally-concatenated strip image
+    (reference dataset/video.py:733-763)."""
+    frames = [np.full((8, 12, 3), v, np.float32) for v in (0.0, 0.5, 1.0)]
+    video = Video().add_content(
+        frames=frames,
+        actions=[0] * 3,
+        rewards=[0.0] * 3,
+        metadata=[{}] * 3,
+        dones=[False] * 3,
+        cameras=[PoseParametersNumpy([0, 0, 0], [0, 0, 0])] * 3,
+        focals=[50.0] * 3,
+        bounding_boxes=[np.zeros((4, 1), np.float32)] * 3,
+        bounding_boxes_validity=[np.ones((1,), bool)] * 3,
+    )
+    video.save_moco(str(tmp_path / "strip"))
+    from playableenvironments_tpu.data.video import _load_image
+
+    strip = _load_image(str(tmp_path / "strip.png"))
+    assert strip.shape == (8, 36, 3)
+    np.testing.assert_allclose(strip[:, 12:24], 0.5, atol=2 / 255)
+    # Resized export and existing-file refusal.
+    video.save_moco(str(tmp_path / "small"), target_size=(6, 4))
+    assert _load_image(str(tmp_path / "small.png")).shape == (4, 18, 3)
+    with pytest.raises(FileExistsError):
+        video.save_moco(str(tmp_path / "strip"))
+
+
 def test_dataset_windowing(dataset_root):
     ds = MulticameraVideoDataset(
         os.path.join(dataset_root, "train"), observations_count=3, skip_frames=1

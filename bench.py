@@ -168,8 +168,21 @@ def bench_interactive_fps():
     from playableenvironments_tpu.render.composer import SceneComposer
     from playableenvironments_tpu.scene.encoding import SceneEncoding
 
-    ae_cfg = AutoencoderConfig()  # strides (4, 8), 64+128 = 192 features
+    # strides (4, 8), 64+128 = 192 features; bfloat16 matmul/conv compute
+    # (the recommended TPU setting — model.compute_dtype in the configs).
+    ae_cfg = AutoencoderConfig(compute_dtype="bfloat16")
     scene = dataclasses.replace(build_scene(), autoencoder=ae_cfg)
+    scene = dataclasses.replace(
+        scene,
+        object_models=tuple(
+            dataclasses.replace(
+                om,
+                nerf=dataclasses.replace(om.nerf, compute_dtype="bfloat16"),
+                bender=dataclasses.replace(om.bender, compute_dtype="bfloat16"),
+            )
+            for om in scene.object_models
+        ),
+    )
     assert sum(features_count_by_layer(ae_cfg)) == 192
 
     height, width = 288, 512

@@ -27,6 +27,54 @@ def reflect_pad(x: jnp.ndarray, pad: int) -> jnp.ndarray:
     )
 
 
+def _s2d_block(kernel_size: Tuple[int, int], features: int, width: int) -> int:
+    """Width block for the space-to-depth conv path, or 0 to use the plain
+    conv. Worth it only for wide images with few output channels (where a
+    direct conv wastes the MXU's 128 lanes)."""
+    if width < 384 or features > 16:
+        return 0
+    return max(kernel_size[1] - 1, min(32, 128 // features))
+
+
+class SwitchableConv(nn.Module):
+    """Stride-1 VALID conv with the same parameter layout/init as nn.Conv,
+    switchable to the space-to-depth lowering (ops/s2d_conv.py) for
+    inference on wide few-channel outputs — e.g. the decoder's final
+    7x7 -> RGB conv, the single most expensive op of an interactive frame
+    when lowered directly (3 of 128 MXU lanes used)."""
+
+    features: int
+    kernel_size: Tuple[int, int]
+    compute_dtype: str = "float32"
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, s2d: bool = False) -> jnp.ndarray:
+        from playableenvironments_tpu.ops.s2d_conv import conv_s2d
+
+        dtype = jnp.dtype(self.compute_dtype)
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            self.kernel_size + (x.shape[-1], self.features),
+        )
+        block = _s2d_block(self.kernel_size, self.features, x.shape[-2]) if s2d else 0
+        if block:
+            y = conv_s2d(x.astype(dtype), kernel.astype(dtype), block)
+        else:
+            y = jax.lax.conv_general_dilated(
+                x.astype(dtype),
+                kernel.astype(dtype),
+                (1, 1),
+                "VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros_init(), (self.features,))
+            y = y + bias.astype(y.dtype)
+        return y
+
+
 class CycleGanResnetBlock(nn.Module):
     """Residual block: [reflect-pad conv3x3 BN ReLU] x2 (second without ReLU),
     1x1 projection on the skip when widths differ.
@@ -194,10 +242,10 @@ class MultiresDecoder(nn.Module):
                     y.astype(dtype), (n, 2 * h, 2 * w, c), method="bilinear"
                 )
                 y = reflect_pad(y, 1)
-                y = nn.Conv(
-                    initial * mult // 2, (3, 3), padding="VALID", use_bias=False,
-                    dtype=dtype, name=f"up_{set_idx}_{i}",
-                )(y)
+                y = SwitchableConv(
+                    initial * mult // 2, (3, 3), self.cfg.compute_dtype,
+                    use_bias=False, name=f"up_{set_idx}_{i}",
+                )(y, s2d=not train)
                 y = nn.BatchNorm(
                     use_running_average=not train, name=f"up_bn_{set_idx}_{i}"
                 )(y.astype(jnp.float32))
@@ -216,8 +264,10 @@ class MultiresDecoder(nn.Module):
                 y = jnp.concatenate([y, skip], axis=-1)
 
         y = reflect_pad(y.astype(dtype), 3)
-        y = nn.Conv(self.cfg.input_features, (7, 7), padding="VALID",
-                    dtype=dtype, name="final_conv")(y)
+        y = SwitchableConv(
+            self.cfg.input_features, (7, 7), self.cfg.compute_dtype,
+            name="final_conv",
+        )(y, s2d=not train)
         return nn.sigmoid(y.astype(jnp.float32))
 
 

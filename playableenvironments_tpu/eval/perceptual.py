@@ -33,42 +33,16 @@ IMAGENET_MEAN = np.asarray([0.485, 0.456, 0.406], np.float32)
 IMAGENET_STD = np.asarray([0.229, 0.224, 0.225], np.float32)
 
 
-@jax.custom_vjp
 def _max_pool_2x2(x):
-    """2x2/2 max pool with an equality-mask backward.
+    """2x2/2 max pool; the reshape-reduce lowering (ops/pool.py) has an
+    equality-mask backward instead of XLA's select-and-scatter — the single
+    most expensive op class in the phase-1 profile on TPU. Falls back to
+    the native pool for odd spatial sizes."""
+    if x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
+        from playableenvironments_tpu.ops.pool import max_pool_2x2
 
-    XLA's native max-pool gradient is a `select-and-scatter`, the single
-    most expensive op class in the phase-1 profile on TPU. The backward here
-    upsamples the pooled maxima and cotangents and routes gradient to every
-    input equal to its window's max — pure elementwise/broadcast work. (Tied
-    maxima each receive the full cotangent instead of one winner; ties are
-    measure-zero for float activations.)
-    """
+        return max_pool_2x2(x)
     return nn.max_pool(x, (2, 2), strides=(2, 2))
-
-
-def _max_pool_2x2_fwd(x):
-    y = nn.max_pool(x, (2, 2), strides=(2, 2))
-    return y, (x, y)
-
-
-def _upsample_2x(t, height, width):
-    t = jnp.repeat(jnp.repeat(t, 2, axis=1), 2, axis=2)
-    return jnp.pad(
-        t,
-        ((0, 0), (0, height - t.shape[1]), (0, width - t.shape[2]), (0, 0)),
-    )
-
-
-def _max_pool_2x2_bwd(residual, g):
-    x, y = residual
-    height, width = x.shape[1], x.shape[2]
-    up_y = _upsample_2x(y, height, width)
-    up_g = _upsample_2x(g, height, width)
-    return (jnp.where(x == up_y, up_g, jnp.zeros_like(up_g)),)
-
-
-_max_pool_2x2.defvjp(_max_pool_2x2_fwd, _max_pool_2x2_bwd)
 
 
 class VGGFeatures(nn.Module):
@@ -85,6 +59,10 @@ class VGGFeatures(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> List[jnp.ndarray]:
+        # Plain SAME convs: the space-to-depth lowering was tried here and
+        # lost — its pad/reshape stages broke XLA's relu-into-conv fusion,
+        # costing more than the MXU lanes it recovered (VGG block-0 convs
+        # have 64 features, already half the lanes).
         dtype = jnp.dtype(self.compute_dtype)
         x = ((x - IMAGENET_MEAN) / IMAGENET_STD).astype(dtype)
         outputs = []

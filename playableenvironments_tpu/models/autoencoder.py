@@ -21,27 +21,31 @@ import jax.numpy as jnp
 from playableenvironments_tpu.config import AutoencoderConfig
 
 
-def reflect_pad(x: jnp.ndarray, pad: int) -> jnp.ndarray:
-    return jnp.pad(
-        x, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="reflect"
-    )
+from playableenvironments_tpu.ops.padding import reflect_pad_hw as reflect_pad
+from playableenvironments_tpu.ops.pool import avg_pool_2x2
 
 
-def _s2d_block(kernel_size: Tuple[int, int], features: int, width: int) -> int:
+def _s2d_block(
+    kernel_size: Tuple[int, int], features: int, width: int, cap: int
+) -> int:
     """Width block for the space-to-depth conv path, or 0 to use the plain
-    conv. Worth it only for wide images with few output channels (where a
-    direct conv wastes the MXU's 128 lanes)."""
-    if width < 384 or features > 16:
+    conv. Worth it for wide images with <128 output channels (where a direct
+    conv underfills the MXU's 128 lanes); measured wins on v5e down to
+    width 256 / 64 features for both the forward and the autodiff transpose.
+    `cap` bounds the block (8 for training batches, 32 for bs-1 inference)."""
+    if cap == 0 or features >= 128 or width < 96:
         return 0
-    return max(kernel_size[1] - 1, min(32, 128 // features))
+    return max(kernel_size[1] - 1, min(cap, 128 // features))
 
 
 class SwitchableConv(nn.Module):
     """Stride-1 VALID conv with the same parameter layout/init as nn.Conv,
-    switchable to the space-to-depth lowering (ops/s2d_conv.py) for
-    inference on wide few-channel outputs — e.g. the decoder's final
-    7x7 -> RGB conv, the single most expensive op of an interactive frame
-    when lowered directly (3 of 128 MXU lanes used)."""
+    switchable to the space-to-depth lowering (ops/s2d_conv.py) for wide
+    few-channel outputs — e.g. the decoder's final 7x7 -> RGB conv, the
+    single most expensive op of an interactive frame when lowered directly
+    (3 of 128 MXU lanes used). The lowering is plain JAX (reshape + conv),
+    so it is used in training too; `block_cap` selects the regime
+    (0 = plain conv)."""
 
     features: int
     kernel_size: Tuple[int, int]
@@ -49,7 +53,7 @@ class SwitchableConv(nn.Module):
     use_bias: bool = True
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, s2d: bool = False) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, block_cap: int = 0) -> jnp.ndarray:
         from playableenvironments_tpu.ops.s2d_conv import conv_s2d
 
         dtype = jnp.dtype(self.compute_dtype)
@@ -58,7 +62,9 @@ class SwitchableConv(nn.Module):
             nn.initializers.lecun_normal(),
             self.kernel_size + (x.shape[-1], self.features),
         )
-        block = _s2d_block(self.kernel_size, self.features, x.shape[-2]) if s2d else 0
+        block = _s2d_block(
+            self.kernel_size, self.features, x.shape[-2], block_cap
+        )
         if block:
             y = conv_s2d(x.astype(dtype), kernel.astype(dtype), block)
         else:
@@ -89,27 +95,29 @@ class CycleGanResnetBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
         dtype = jnp.dtype(self.compute_dtype)
+        cap = 8 if train else 32
         y = reflect_pad(x.astype(dtype), 1)
-        y = nn.Conv(self.out_features, (3, 3), padding="VALID", use_bias=False,
-                    dtype=dtype, name="conv1")(y)
-        y = nn.BatchNorm(use_running_average=not train, name="bn1")(
-            y.astype(jnp.float32)
-        )
+        y = SwitchableConv(self.out_features, (3, 3), self.compute_dtype,
+                           use_bias=False, name="conv1")(y, cap)
+        # Activations stay in compute_dtype through BatchNorm: flax computes
+        # the batch statistics in float32 regardless (force_float32_reductions)
+        # so only the normalized tensor rides the reduced precision — phase-1
+        # at 512x288 is HBM-bound, and fp32 BN outputs double the traffic.
+        y = nn.BatchNorm(use_running_average=not train, dtype=dtype,
+                         name="bn1")(y)
         y = nn.relu(y)
         y = reflect_pad(y.astype(dtype), 1)
-        y = nn.Conv(self.out_features, (3, 3), padding="VALID", use_bias=False,
-                    dtype=dtype, name="conv2")(y)
-        y = nn.BatchNorm(use_running_average=not train, name="bn2")(
-            y.astype(jnp.float32)
-        )
+        y = SwitchableConv(self.out_features, (3, 3), self.compute_dtype,
+                           use_bias=False, name="conv2")(y, cap)
+        y = nn.BatchNorm(use_running_average=not train, dtype=dtype,
+                         name="bn2")(y)
 
-        residual = x
+        residual = x.astype(y.dtype)
         if x.shape[-1] != self.out_features:
             residual = nn.Conv(self.out_features, (1, 1), use_bias=False,
                                dtype=dtype, name="skip_conv")(x.astype(dtype))
-            residual = nn.BatchNorm(use_running_average=not train, name="skip_bn")(
-                residual.astype(jnp.float32)
-            )
+            residual = nn.BatchNorm(use_running_average=not train, dtype=dtype,
+                                    name="skip_bn")(residual)
         return residual + y
 
 
@@ -154,12 +162,12 @@ class MultiresEncoder(nn.Module):
             2 ** sum(self.cfg.downsampling_layers_count)
         )
 
+        cap = 8 if train else 32
         y = reflect_pad(x.astype(dtype), 3)
-        y = nn.Conv(initial, (7, 7), padding="VALID", use_bias=False,
-                    dtype=dtype, name="initial_conv")(y)
-        y = nn.BatchNorm(use_running_average=not train, name="initial_bn")(
-            y.astype(jnp.float32)
-        )
+        y = SwitchableConv(initial, (7, 7), self.cfg.compute_dtype,
+                           use_bias=False, name="initial_conv")(y, cap)
+        y = nn.BatchNorm(use_running_average=not train, dtype=dtype,
+                         name="initial_bn")(y)
         y = nn.relu(y)
 
         outputs = []
@@ -168,15 +176,16 @@ class MultiresEncoder(nn.Module):
             for i in range(downs):
                 mult = 2 ** cumulative
                 # Reflect padding (encoder_v4.py:60 padding_mode="reflect").
-                y = nn.Conv(
-                    initial * mult * 2, (3, 3), padding="VALID", use_bias=False,
-                    dtype=dtype, name=f"down_{set_idx}_{i}",
-                )(reflect_pad(y.astype(dtype), 1))
+                y = SwitchableConv(
+                    initial * mult * 2, (3, 3), self.cfg.compute_dtype,
+                    use_bias=False, name=f"down_{set_idx}_{i}",
+                )(reflect_pad(y.astype(dtype), 1), cap)
                 y = nn.BatchNorm(
-                    use_running_average=not train, name=f"down_bn_{set_idx}_{i}"
-                )(y.astype(jnp.float32))
+                    use_running_average=not train, dtype=dtype,
+                    name=f"down_bn_{set_idx}_{i}"
+                )(y)
                 y = nn.relu(y)
-                y = nn.avg_pool(y, (2, 2), strides=(2, 2))
+                y = avg_pool_2x2(y)
                 cumulative += 1
                 # v9: extra residuals mid-set for deep sets (encoder_v5.py:66-81).
                 if deep and downs >= 3 and i == 1:
@@ -245,10 +254,11 @@ class MultiresDecoder(nn.Module):
                 y = SwitchableConv(
                     initial * mult // 2, (3, 3), self.cfg.compute_dtype,
                     use_bias=False, name=f"up_{set_idx}_{i}",
-                )(y, s2d=not train)
+                )(y, 8 if train else 32)
                 y = nn.BatchNorm(
-                    use_running_average=not train, name=f"up_bn_{set_idx}_{i}"
-                )(y.astype(jnp.float32))
+                    use_running_average=not train, dtype=dtype,
+                    name=f"up_bn_{set_idx}_{i}"
+                )(y)
                 y = nn.relu(y)
                 mult //= 2
                 if deep and downs >= 3 and i == downs - 2:
@@ -267,7 +277,7 @@ class MultiresDecoder(nn.Module):
         y = SwitchableConv(
             self.cfg.input_features, (7, 7), self.cfg.compute_dtype,
             name="final_conv",
-        )(y, s2d=not train)
+        )(y, 8 if train else 32)
         return nn.sigmoid(y.astype(jnp.float32))
 
 

@@ -1,0 +1,52 @@
+"""2x2/2 pooling via reshape-reduce.
+
+XLA lowers `reduce_window` pools (and especially their transposes) through
+padded window scatter paths that cost several ms at phase-1 scale; for the
+even-sized stride-2 case a pool is just a reshape + small-axis reduce, whose
+transpose is a broadcast. Shapes in this codebase are always even (288/512
+inputs through power-of-two pyramids); the functions assert that.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _windowed(x: jnp.ndarray) -> jnp.ndarray:
+    n, h, w, c = x.shape
+    assert h % 2 == 0 and w % 2 == 0, f"even H/W required, got {x.shape}"
+    return x.reshape(n, h // 2, 2, w // 2, 2, c)
+
+
+def avg_pool_2x2(x: jnp.ndarray) -> jnp.ndarray:
+    """Mean 2x2/2 pool; matches nn.avg_pool(x, (2, 2), strides=(2, 2))."""
+    return _windowed(x).mean(axis=(2, 4))
+
+
+@jax.custom_vjp
+def max_pool_2x2(x: jnp.ndarray) -> jnp.ndarray:
+    """Max 2x2/2 pool with an equality-mask backward.
+
+    The backward routes cotangent to every input equal to its window's max —
+    pure broadcast/elementwise work instead of XLA's select-and-scatter.
+    (Tied maxima each receive the full cotangent; ties are measure-zero for
+    float activations.)"""
+    return _windowed(x).max(axis=(2, 4))
+
+
+def _max_pool_2x2_fwd(x):
+    y = _windowed(x).max(axis=(2, 4))
+    return y, (x, y)
+
+
+def _max_pool_2x2_bwd(residual, g):
+    x, y = residual
+    xw = _windowed(x)
+    yb = y[:, :, None, :, None, :]
+    gb = g[:, :, None, :, None, :]
+    grad = jnp.where(xw == yb, gb, jnp.zeros_like(gb))
+    return (grad.reshape(x.shape),)
+
+
+max_pool_2x2.defvjp(_max_pool_2x2_fwd, _max_pool_2x2_bwd)

@@ -77,7 +77,9 @@ def conv_s2d(
         window_strides=(1, 1),
         padding="VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
-    )  # (n, h_out, groups_out, block*cout)
+    )  # (n, h_out, groups_out, block*cout); like nn.Conv, accumulation is
+    # fp32 on the MXU and the stored element type follows the inputs — no
+    # preferred_element_type, so the op is differentiable (the transpose
+    # rule requires matching operand/cotangent dtypes).
     y = y.reshape(n, h_out, groups_out * block, cout)[:, :, :w_out]
     return y.astype(x.dtype)

@@ -198,6 +198,9 @@ def spatial_kl_gaussian(distribution_parameters: jnp.ndarray) -> jnp.ndarray:
     the channel axis is mean, second half log variance. Reference:
     losses.py:435-462 (channel-first there)."""
     features = distribution_parameters.shape[-1] // 2
+    # The latents may arrive in bfloat16 (compute_dtype); the exp/square and
+    # the large spatial reduction want float32.
+    distribution_parameters = distribution_parameters.astype(jnp.float32)
     mean = distribution_parameters[..., :features]
     log_variance = distribution_parameters[..., features:]
     kl = 1.0 + log_variance - jnp.square(mean) - jnp.exp(log_variance)

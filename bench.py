@@ -24,21 +24,6 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 REFERENCE_A100_RAYS_PER_SEC = 2.3e4  # documented estimate, see module docstring
 
 
-def _drain(tree):
-    """Force EVERY leaf to materialize. The benchmark harness's TPU tunnel
-    executes lazily per-output: unfetched outputs of earlier calls (e.g. the
-    warmup call's returned train state) otherwise complete inside the timed
-    region and corrupt the measurement."""
-    import numpy as _np
-
-    import jax as _jax
-
-    for leaf in _jax.tree.leaves(tree):
-        if hasattr(leaf, "shape"):
-            _np.asarray(leaf)
-    return tree
-
-
 def _chained_step_ms(step_fn, state, data, iters):
     """Per-step wall time via the DIFFERENCE of two chain lengths (iters and
     3*iters), both fed the same device-resident input state: the tunnel

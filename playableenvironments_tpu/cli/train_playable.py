@@ -156,19 +156,35 @@ def main():
         except ValueError as stale:
             logger.print(f"{stale}; rebuilding")
     if cache is None:
-        encode_fn = jax.jit(
-            lambda b, k: trainer.encode_batch(
-                {"environment": {"params": env_params, "batch_stats": env_batch_stats}},
-                b, k,
+        # Multi-host: only process 0 encodes (the dominant startup cost);
+        # the others wait at a barrier and load the saved npz from the
+        # shared checkpoints filesystem. A host that still can't see the
+        # file after the barrier (non-shared fs) builds its own copy.
+        def _build():
+            encode_fn = jax.jit(
+                lambda b, k: trainer.encode_batch(
+                    {"environment": {"params": env_params, "batch_stats": env_batch_stats}},
+                    b, k,
+                )
             )
-        )
-        cache = EncodingCache.build(
-            encode_fn, dataset, encode_key,
-            batch_size=int(t.get("encoding_batch_size", 32)),
-            log_fn=logger.print,
-        )
+            return EncodingCache.build(
+                encode_fn, dataset, encode_key,
+                batch_size=int(t.get("encoding_batch_size", 32)),
+                log_fn=logger.print,
+            )
+
         if jax.process_index() == 0:
+            cache = _build()
             cache.save(cache_path, fingerprint=fingerprint)
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices("encoding_cache_built")
+            if cache is None:
+                if os.path.exists(cache_path):
+                    cache = EncodingCache.load(cache_path, fingerprint=fingerprint)
+                else:
+                    cache = _build()
 
     # Data-parallel mesh (the phase-2 pattern, cli/common.py): batch axis
     # sharded, replicated state, XLA psum over ICI.

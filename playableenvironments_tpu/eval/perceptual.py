@@ -36,13 +36,11 @@ IMAGENET_STD = np.asarray([0.229, 0.224, 0.225], np.float32)
 def _max_pool_2x2(x):
     """2x2/2 max pool; the reshape-reduce lowering (ops/pool.py) has an
     equality-mask backward instead of XLA's select-and-scatter — the single
-    most expensive op class in the phase-1 profile on TPU. Falls back to
-    the native pool for odd spatial sizes."""
-    if x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
-        from playableenvironments_tpu.ops.pool import max_pool_2x2
+    most expensive op class in the phase-1 profile on TPU. Odd spatial
+    sizes fall back to the native pool inside ops/pool."""
+    from playableenvironments_tpu.ops.pool import max_pool_2x2
 
-        return max_pool_2x2(x)
-    return nn.max_pool(x, (2, 2), strides=(2, 2))
+    return max_pool_2x2(x)
 
 
 class VGGFeatures(nn.Module):

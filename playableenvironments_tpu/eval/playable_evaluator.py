@@ -128,12 +128,13 @@ class PlayableModelEvaluator:
     # ------------------------------------------------------------------
 
     def generate_action_video(
-        self, state, encoding: SceneEncoding, action_idx: int
+        self, state, encoding: SceneEncoding, action_idx: int, renderer
     ) -> np.ndarray:
         """Roll the dynamics forward from the frame-0 state with a fixed
         action for every dynamic object, rendering each step.
 
         :param encoding: (1, T>=1, ...) scene encoding; frame 0 is the seed.
+        :param renderer: FrameRenderer built for this batch's image size.
         :return: (frames, H, W, 3) rendered rollout.
         """
         playable = self.trainer.playable_model
@@ -152,8 +153,12 @@ class PlayableModelEvaluator:
             anim_cfg = self.trainer.scene_animation_configs()[
                 self.object_ids.animation_model_idx_by_dynamic_object_idx(dynamic_idx)
             ]
+            # evaluate() iterates to the scene-wide max action count; objects
+            # with fewer actions clamp to their last action instead of being
+            # driven with an undefined all-zero one-hot.
             one_hot = jax.nn.one_hot(
-                jnp.asarray([action_idx]), anim_cfg.actions_count
+                jnp.asarray([min(action_idx, anim_cfg.actions_count - 1)]),
+                anim_cfg.actions_count,
             )
             variation = jnp.zeros((1, anim_cfg.action_space_dimension))
             carry = None
@@ -177,16 +182,14 @@ class PlayableModelEvaluator:
             object_rotations=rot, object_translations=trans,
             object_style=style, object_deformation=deform,
         )
-        image_size = None  # renderer decides; see evaluate()
-        rendered = np.asarray(self._current_renderer.render(rollout))
-        return rendered[0, :, 0]  # (frames, H, W, 3), camera 0
+        return np.asarray(renderer.render(rollout))[0, :, 0]  # (T, H, W, 3)
 
     # ------------------------------------------------------------------
     # 3. Sequence reconstructions with the zero-variation action modifier
     #    (playable_model_evaluator.py:208-375)
     # ------------------------------------------------------------------
 
-    def reenact_sequence(self, state, encoding: SceneEncoding) -> np.ndarray:
+    def reenact_sequence(self, state, encoding: SceneEncoding, renderer) -> np.ndarray:
         """1 GT frame + inferred actions (zero variation) -> rendered rollout.
 
         :return: (T, H, W, 3) reconstruction frames for batch element 0.
@@ -225,7 +228,7 @@ class PlayableModelEvaluator:
             object_rotations=rot, object_translations=trans,
             object_style=style, object_deformation=deform,
         )
-        return np.asarray(self._current_renderer.render(reenacted))[0, :, 0]
+        return np.asarray(renderer.render(reenacted))[0, :, 0]
 
     # ------------------------------------------------------------------
 
@@ -243,7 +246,7 @@ class PlayableModelEvaluator:
             self.dataset.iterate_batches(1, shuffle=False, drop_last=False)
         )
         image_size = batch.observations.shape[-3:-1]
-        self._current_renderer = self._renderer(state, image_size)
+        renderer = self._renderer(state, image_size)
         key = jax.random.PRNGKey(self.seed + 13)
         encoding = self.trainer.encode_batch(state.extra, batch, key)
 
@@ -251,7 +254,9 @@ class PlayableModelEvaluator:
             cfg.actions_count for cfg in self.trainer.scene_animation_configs()
         )
         for action_idx in range(actions_count):
-            frames = self.generate_action_video(state, encoding, action_idx)
+            frames = self.generate_action_video(
+                state, encoding, action_idx, renderer
+            )
             base = os.path.join(out_dir, f"action_{action_idx}")
             try:
                 save_video(list(frames), base + ".mp4", framerate=self.framerate)
@@ -259,7 +264,7 @@ class PlayableModelEvaluator:
                 pass  # no ffmpeg on this host; the gif still lands
             save_gif(list(frames), base + ".gif", framerate=self.framerate)
 
-        reconstruction = self.reenact_sequence(state, encoding)
+        reconstruction = self.reenact_sequence(state, encoding, renderer)
         ground_truth = np.asarray(batch.observations[0, :, 0])
         strip = np.concatenate(
             [

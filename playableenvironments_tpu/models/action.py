@@ -276,9 +276,11 @@ class ObjectAnimationModel(nn.Module):
                 rollout_cfg, packed, rotations, translations, style,
                 deformation, actions, action_variations,
                 jnp.asarray(ground_truth_observations, jnp.int32),
-                # Real Pallas kernels on TPU; the pure-XLA path elsewhere
-                # (the kernels run in interpret mode on CPU only in tests).
-                jax.default_backend() != "cpu",
+                # Real Pallas kernels on TPU only; every other backend takes
+                # the pure-XLA path (the kernels use pltpu memory spaces and
+                # would fail to lower on GPU; tests exercise them on CPU via
+                # interpret mode explicitly).
+                jax.default_backend() == "tpu",
             )
 
         state_0 = (rotations[:, 0], translations[:, 0], style[:, 0], deformation[:, 0])

@@ -169,9 +169,7 @@ def forward(cfg: fr.RolloutConfig, params: fr.PackedParams, rotations,
         + [rotations, translations, style, deform, actions, variations]
     )
     in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + [
-        pl.BlockSpec(memory_space=pltpu.ANY)
-        if False else pl.BlockSpec(memory_space=pltpu.VMEM)
-        for _ in inputs[1:]
+        pl.BlockSpec(memory_space=pltpu.VMEM) for _ in inputs[1:]
     ]
     out_shape = out_shapes + [res_shapes[k] for k in res_keys]
     outs = pl.pallas_call(

@@ -3,8 +3,9 @@
 XLA lowers `reduce_window` pools (and especially their transposes) through
 padded window scatter paths that cost several ms at phase-1 scale; for the
 even-sized stride-2 case a pool is just a reshape + small-axis reduce, whose
-transpose is a broadcast. Shapes in this codebase are always even (288/512
-inputs through power-of-two pyramids); the functions assert that.
+transpose is a broadcast. Shapes at published scales are always even
+(288/512 inputs through power-of-two pyramids); odd H/W falls back to the
+native pool, matching nn.*_pool's VALID windowing (last row/column dropped).
 """
 
 from __future__ import annotations
@@ -13,19 +14,36 @@ import jax
 import jax.numpy as jnp
 
 
+def _even(x: jnp.ndarray) -> bool:
+    return x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0
+
+
 def _windowed(x: jnp.ndarray) -> jnp.ndarray:
     n, h, w, c = x.shape
-    assert h % 2 == 0 and w % 2 == 0, f"even H/W required, got {x.shape}"
     return x.reshape(n, h // 2, 2, w // 2, 2, c)
 
 
 def avg_pool_2x2(x: jnp.ndarray) -> jnp.ndarray:
     """Mean 2x2/2 pool; matches nn.avg_pool(x, (2, 2), strides=(2, 2))."""
+    if not _even(x):
+        from flax import linen as nn
+
+        return nn.avg_pool(x, (2, 2), strides=(2, 2))
     return _windowed(x).mean(axis=(2, 4))
 
 
-@jax.custom_vjp
 def max_pool_2x2(x: jnp.ndarray) -> jnp.ndarray:
+    """Max 2x2/2 pool; reshape-reduce with an equality-mask backward on
+    even H/W, native nn.max_pool otherwise."""
+    if not _even(x):
+        from flax import linen as nn
+
+        return nn.max_pool(x, (2, 2), strides=(2, 2))
+    return _max_pool_2x2_even(x)
+
+
+@jax.custom_vjp
+def _max_pool_2x2_even(x: jnp.ndarray) -> jnp.ndarray:
     """Max 2x2/2 pool with an equality-mask backward.
 
     The backward routes cotangent to every input equal to its window's max —
@@ -49,4 +67,4 @@ def _max_pool_2x2_bwd(residual, g):
     return (grad.reshape(x.shape),)
 
 
-max_pool_2x2.defvjp(_max_pool_2x2_fwd, _max_pool_2x2_bwd)
+_max_pool_2x2_even.defvjp(_max_pool_2x2_fwd, _max_pool_2x2_bwd)

@@ -74,6 +74,11 @@ class EncodingCache:
         dataset.set_observations_count(1)
         try:
             samples = len(dataset)
+            if samples == 0:
+                raise ValueError(
+                    "encoding cache: the dataset has no frames (empty split "
+                    "or every video shorter than one observation window)"
+                )
             video_slices: List[Tuple[int, int]] = []
             start = 0
             for video in dataset.videos:

@@ -488,20 +488,29 @@ class PlayableTrainer:
             key_gen, key_disc = keys
         else:
             key_gen, key_disc = jax.random.split(keys)
+        step = state.step  # G and D share one iteration counter (annealing)
         state, metrics = self.train_step(state, encoding, key_gen)
         if self.playable_model.with_discriminators:
             state, disc_metrics = self.discriminator_step(
-                state, encoding, key_disc
+                state, encoding, key_disc, step
             )
             metrics = {**metrics, **disc_metrics}
         return state, metrics
 
     def discriminator_step(
-        self, state: TrainState, encoding: SceneEncoding, key: jax.Array
+        self,
+        state: TrainState,
+        encoding: SceneEncoding,
+        key: jax.Array,
+        step: jnp.ndarray,
     ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
         """GAN discriminator pass: real = GT encodings, fake = detached
         reconstructions (playable_model_trainer_discriminator.py:195-234,
-        forward_only_discriminator semantics)."""
+        forward_only_discriminator semantics).
+
+        :param step: the PRE-generator-update iteration counter, so the
+            teacher-forcing annealing schedule matches the generator pass of
+            the same G+D pair (the reference uses one counter for both)."""
 
         def disc_loss_fn(params):
             variables = {"params": params, "batch_stats": state.batch_stats}
@@ -513,12 +522,16 @@ class PlayableTrainer:
                 ]
             )
             # Batch-statistics BN like the reference's train-mode forward;
-            # the mutations are discarded (the generator pass owns the
-            # running-stat updates for this step).
+            # the action-module BN mutations are discarded (the generator
+            # pass owns the running-stat updates for this step) but the
+            # discriminators' spectral-norm power-iteration vectors (u/sigma,
+            # also stored in batch_stats) MUST persist — torch spectral_norm
+            # carries u across steps; restarting from the init vector every
+            # step would never converge to the true spectral norm.
             results, _ = self.playable_model.apply(
                 variables,
                 encoding,
-                self.cfg.ground_truth_observations_at(state.step),
+                self.cfg.ground_truth_observations_at(step),
                 centroids,
                 None,
                 False,
@@ -527,25 +540,28 @@ class PlayableTrainer:
                 mutable=["batch_stats"],
             )
             results = jax.lax.stop_gradient(results)
-            real_logits = self.playable_model.apply(
+            real_logits, mutated = self.playable_model.apply(
                 variables, results, encoding, False, True,
                 method=PlayableEnvironmentModel.discriminate,
                 mutable=["batch_stats"],
-            )[0]
-            fake_logits = self.playable_model.apply(
-                variables, results, encoding, True, True,
+            )
+            fake_logits, mutated = self.playable_model.apply(
+                {"params": params, "batch_stats": mutated["batch_stats"]},
+                results, encoding, True, True,
                 method=PlayableEnvironmentModel.discriminate,
                 mutable=["batch_stats"],
-            )[0]
+            )
             loss = jnp.zeros(())
             for real, fake in zip(real_logits, fake_logits):
                 loss = loss + losses.gan_loss(real, True, self.cfg.gan_mode)
                 loss = loss + losses.gan_loss(fake, False, self.cfg.gan_mode)
-            return loss
+            return loss, mutated["batch_stats"]
 
         import optax
 
-        loss, grads = jax.value_and_grad(disc_loss_fn)(state.params)
+        (loss, new_batch_stats), grads = jax.value_and_grad(
+            disc_loss_fn, has_aux=True
+        )(state.params)
         # Discriminator optimizer (masked to the discriminator subtree; its
         # state lives in extra). The D pass does NOT advance the step counter:
         # one G+D pair is one optimization step, as in the reference.
@@ -554,6 +570,7 @@ class PlayableTrainer:
         )
         new_state = state.replace(
             params=optax.apply_updates(state.params, updates),
+            batch_stats=new_batch_stats,
             extra={**state.extra, "disc_opt_state": new_disc_opt},
         )
         return new_state, {"discriminator_loss": loss}

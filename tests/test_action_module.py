@@ -314,6 +314,25 @@ def test_phase3_gan_fused_step(phase3_setup, tmp_path):
     assert changed("animation_model")
     assert changed("discriminator")
 
+    # The discriminators' spectral-norm power-iteration vectors (u/sigma in
+    # batch_stats) must persist across steps — torch spectral_norm carries u
+    # forward; restarting from the init vector every step never converges to
+    # the true spectral norm (regression: the D pass used to discard them).
+    def sn_leaves(stats):
+        return {
+            path: leaf
+            for path, leaf in jax.tree_util.tree_leaves_with_path(stats)
+            if "discriminator" in jax.tree_util.keystr(path)
+        }
+
+    sn_before = sn_leaves(state.batch_stats)
+    sn_after = sn_leaves(st.batch_stats)
+    assert sn_before, "expected spectral-norm stats under the discriminators"
+    assert any(
+        not np.allclose(np.asarray(sn_after[k]), np.asarray(sn_before[k]))
+        for k in sn_before
+    ), "spectral-norm stats did not persist across the discriminator step"
+
 
 # ---------------------------------------------------------------------------
 # Phase-3 encoding cache

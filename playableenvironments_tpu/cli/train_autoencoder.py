@@ -47,7 +47,10 @@ def main():
     logger = Logger(results_dir, cfg.get("logging", {}).get("run_name", "ae"))
 
     scene = config_lib.scene_from_dict(cfg["model"], cfg.get("playable_model"))
-    t = cfg["training"]
+    # Published configs carry a dedicated `autoencoder_training:` block
+    # (reference AutoencoderConfiguration reads its own YAML); fall back to
+    # `training:` for single-phase smoke configs.
+    t = cfg.get("autoencoder_training") or cfg["training"]
     train_cfg = AutoencoderTrainingConfig(
         learning_rate=float(t.get("learning_rate", 4e-4)),
         lr_gamma=float(t.get("lr_gamma", 0.926118)),
@@ -62,7 +65,9 @@ def main():
     trainer = AutoencoderTrainer(scene.autoencoder, train_cfg)
 
     dataset = build_dataset(cfg, "train")
-    batch_size = int(t["batching"].get("batch_size", 20))
+    batch_size = int(
+        t.get("batch_size") or t.get("batching", {}).get("batch_size", 20)
+    )
 
     # Data-parallel mesh (the phase-2 pattern): per-host interleaved batch
     # slices assemble into one global batch; XLA psums gradients over ICI.
@@ -133,11 +138,30 @@ def main():
         )
         evaluator = AutoencoderEvaluator(trainer, val_images)
 
+    # Profiling, as in the phase-2 loop (cli/common.py): training.
+    # enable_profiling captures [profile_start_step, +profile_steps) into
+    # <results>/profile for TensorBoard/Perfetto.
+    enable_profiling = bool(t.get("enable_profiling", False))
+    profile_start = int(t.get("profile_start_step", 10))
+    profile_steps = int(t.get("profile_steps", 5))
+    profiling_active = False
+
     epoch = 0
     while int(state.step) < train_cfg.max_steps:
         for images in image_batches(args.seed + epoch):
             key = jax.random.fold_in(jax.random.PRNGKey(args.seed), int(state.step))
-            state, metrics = step_fn(state, images, key)
+            if enable_profiling and int(state.step) == profile_start:
+                jax.profiler.start_trace(os.path.join(results_dir, "profile"))
+                profiling_active = True
+            with jax.profiler.StepTraceAnnotation(
+                "train_step", step_num=int(state.step)
+            ):
+                state, metrics = step_fn(state, images, key)
+            if profiling_active and int(state.step) >= profile_start + profile_steps:
+                jax.block_until_ready(metrics)
+                jax.profiler.stop_trace()
+                profiling_active = False
+                logger.print(f"profiler trace written to {results_dir}/profile")
             step = int(state.step)
             meter.add({k: float(v) for k, v in metrics.items()})
             if step % log_interval == 0 and is_main:

@@ -263,6 +263,25 @@ def main():
             evaluator.evaluate(jax.device_get(state), logger, step)
         return step
 
+    # Profiling, as in the phase-2 loop (cli/common.py): captures
+    # [profile_start_step, +profile_steps) — here rounded up to whole
+    # multi_step blocks — into <results>/profile.
+    enable_profiling = bool(t.get("enable_profiling", False))
+    profile_start = int(t.get("profile_start_step", 10))
+    profile_steps = int(t.get("profile_steps", 5))
+    profiling_active = False
+
+    def maybe_profile(before, state, metrics):
+        nonlocal profiling_active
+        if enable_profiling and not profiling_active and before >= profile_start:
+            jax.profiler.start_trace(os.path.join(results_dir, "profile"))
+            profiling_active = True
+        elif profiling_active and int(state.step) >= profile_start + profile_steps:
+            jax.block_until_ready(metrics)
+            jax.profiler.stop_trace()
+            profiling_active = False
+            logger.print(f"profiler trace written to {results_dir}/profile")
+
     epoch = 0
     while int(state.step) < train_cfg.max_steps:
         # Sequence-length annealing is index arithmetic over the cache
@@ -285,6 +304,7 @@ def main():
             before = int(state.step)
             key = jax.random.fold_in(jax.random.PRNGKey(args.seed), before)
             state, metrics = multi_step(state, stacked, key)
+            maybe_profile(before, state, metrics)
             means = jax.tree.map(lambda v: v.mean(), metrics)
             meter.add({k: float(v) for k, v in means.items()})
             step = housekeeping(state, before)
@@ -299,6 +319,7 @@ def main():
             before = int(state.step)
             key = jax.random.fold_in(jax.random.PRNGKey(args.seed), before)
             state, metrics = single_step(state, encoding, key)
+            maybe_profile(before, state, metrics)
             meter.add({k: float(v) for k, v in metrics.items()})
             step = housekeeping(state, before)
             if step >= train_cfg.max_steps:

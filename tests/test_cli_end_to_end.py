@@ -188,3 +188,53 @@ def test_playability_generation_and_evaluation_cli(
     )
     results = yaml.safe_load(open(results_path))
     assert "mse" in results
+
+
+def test_phase1_autoencoder_training_cli(workdir):
+    """The AE CLI honours the dedicated `autoencoder_training:` block of the
+    published configs (reference AutoencoderConfiguration has its own YAML),
+    writes checkpoints, and produces the training-time evaluator grid."""
+    cfg = dict(yaml.safe_load(open(workdir["config"])))
+    cfg["model"] = dict(cfg["model"])
+    cfg["model"]["autoencoder"] = {
+        "input_features": 3,
+        "bottleneck_features": 8,
+        "bottleneck_blocks": 1,
+        "downsampling_layers_count": [1, 1],
+    }
+    cfg["logging"] = dict(cfg["logging"])
+    cfg["logging"]["run_name"] = "smoke_ae"
+    # Deliberately phase-2-like settings under training:; the AE block must
+    # win (regression: the CLI used to read training: unconditionally).
+    cfg["autoencoder_training"] = {
+        "learning_rate": 0.0004,
+        "max_steps": 4,
+        "batch_size": 2,
+        "save_freq": 4,
+        "log_interval_steps": 2,
+        "eval_freq": 2,
+        "loss_weights": {"KL_loss_lambda": 0.000005},
+    }
+    config_path = os.path.join(workdir["root"], "smoke_ae.yaml")
+    yaml.safe_dump(cfg, open(config_path, "w"))
+
+    run_cli(
+        "playableenvironments_tpu.cli.train_autoencoder", "--config", config_path
+    )
+    from playableenvironments_tpu.train.checkpointing import latest_checkpoint
+
+    ckpt = latest_checkpoint(
+        os.path.join(cfg["logging"]["checkpoints_root"], "smoke_ae")
+    )
+    assert ckpt is not None and ckpt.endswith("_4")
+    results_dir = os.path.join(cfg["logging"]["output_root"], "smoke_ae")
+    images = [
+        name
+        for name in os.listdir(results_dir)
+        if name.endswith(".png") or "grid" in name
+    ] + (
+        os.listdir(os.path.join(results_dir, "images"))
+        if os.path.isdir(os.path.join(results_dir, "images"))
+        else []
+    )
+    assert images, f"no evaluator grid written under {results_dir}"

@@ -183,6 +183,12 @@ def avg_pool(x: jnp.ndarray, factor: int) -> jnp.ndarray:
         return x
     wh = min(factor, x.shape[-3])
     ww = min(factor, x.shape[-2])
+    if wh == 2 and ww == 2:
+        # Reshape-reduce form (ops/pool.py): reduce_window transposes lower
+        # as padded-window scatters, the hottest op class in training convs.
+        from playableenvironments_tpu.ops.pool import avg_pool_2x2
+
+        return avg_pool_2x2(x)
     return nn.avg_pool(x, (wh, ww), strides=(wh, ww))
 
 

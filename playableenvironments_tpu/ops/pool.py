@@ -6,6 +6,8 @@ even-sized stride-2 case a pool is just a reshape + small-axis reduce, whose
 transpose is a broadcast. Shapes at published scales are always even
 (288/512 inputs through power-of-two pyramids); odd H/W falls back to the
 native pool, matching nn.*_pool's VALID windowing (last row/column dropped).
+
+Inputs are (..., H, W, C): any number of leading batch dims.
 """
 
 from __future__ import annotations
@@ -15,12 +17,12 @@ import jax.numpy as jnp
 
 
 def _even(x: jnp.ndarray) -> bool:
-    return x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0
+    return x.shape[-3] % 2 == 0 and x.shape[-2] % 2 == 0
 
 
 def _windowed(x: jnp.ndarray) -> jnp.ndarray:
-    n, h, w, c = x.shape
-    return x.reshape(n, h // 2, 2, w // 2, 2, c)
+    *lead, h, w, c = x.shape
+    return x.reshape(tuple(lead) + (h // 2, 2, w // 2, 2, c))
 
 
 def avg_pool_2x2(x: jnp.ndarray) -> jnp.ndarray:
@@ -29,7 +31,7 @@ def avg_pool_2x2(x: jnp.ndarray) -> jnp.ndarray:
         from flax import linen as nn
 
         return nn.avg_pool(x, (2, 2), strides=(2, 2))
-    return _windowed(x).mean(axis=(2, 4))
+    return _windowed(x).mean(axis=(-4, -2))
 
 
 def max_pool_2x2(x: jnp.ndarray) -> jnp.ndarray:
@@ -44,25 +46,25 @@ def max_pool_2x2(x: jnp.ndarray) -> jnp.ndarray:
 
 @jax.custom_vjp
 def _max_pool_2x2_even(x: jnp.ndarray) -> jnp.ndarray:
-    """Max 2x2/2 pool with an equality-mask backward.
+    """2x2/2 max pool with an equality-mask backward.
 
     The backward routes cotangent to every input equal to its window's max —
     pure broadcast/elementwise work instead of XLA's select-and-scatter.
     (Tied maxima each receive the full cotangent; ties are measure-zero for
     float activations.)"""
-    return _windowed(x).max(axis=(2, 4))
+    return _windowed(x).max(axis=(-4, -2))
 
 
 def _max_pool_2x2_fwd(x):
-    y = _windowed(x).max(axis=(2, 4))
+    y = _windowed(x).max(axis=(-4, -2))
     return y, (x, y)
 
 
 def _max_pool_2x2_bwd(residual, g):
     x, y = residual
     xw = _windowed(x)
-    yb = y[:, :, None, :, None, :]
-    gb = g[:, :, None, :, None, :]
+    yb = y[..., :, None, :, None, :]
+    gb = g[..., :, None, :, None, :]
     grad = jnp.where(xw == yb, gb, jnp.zeros_like(gb))
     return (grad.reshape(x.shape),)
 

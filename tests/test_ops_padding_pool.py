@@ -39,6 +39,15 @@ def test_avg_pool_matches_nn(rng):
     np.testing.assert_allclose(
         avg_pool_2x2(x), nn.avg_pool(x, (2, 2), strides=(2, 2)), atol=1e-6
     )
+    # Extra leading batch dims and odd-size fallback.
+    x5 = jnp.asarray(rng.normal(size=(2, 3, 8, 12, 5)).astype(np.float32))
+    np.testing.assert_allclose(
+        avg_pool_2x2(x5), nn.avg_pool(x5, (2, 2), strides=(2, 2)), atol=1e-6
+    )
+    x_odd = jnp.asarray(rng.normal(size=(2, 7, 9, 5)).astype(np.float32))
+    np.testing.assert_allclose(
+        avg_pool_2x2(x_odd), nn.avg_pool(x_odd, (2, 2), strides=(2, 2)), atol=1e-6
+    )
     g = jnp.asarray(rng.normal(size=(2, 4, 6, 5)).astype(np.float32))
     got = jax.grad(lambda x: (avg_pool_2x2(x) * g).sum())(x)
     want = jax.grad(

@@ -8,11 +8,16 @@ from `model/object_composer.py:104-151`.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
+# Host numpy on purpose: module-level jnp constants would initialize the JAX
+# backend at import time, breaking jax.distributed.initialize() for any
+# entry point importing core/render at module top. Consumed only inside jnp
+# ops, where they upload once per compilation.
 # Corner ordering matching bounding_box.py:58-98: index 0 is the all-low
 # corner, index 6 the all-high corner; selection per axis (x, y, z) is
 # encoded as low=0 / high=1.
-_CORNER_SELECTS = jnp.asarray(
+_CORNER_SELECTS = np.asarray(
     [
         [0, 0, 0],
         [1, 0, 0],
@@ -26,7 +31,7 @@ _CORNER_SELECTS = jnp.asarray(
 )
 
 # Pairs of corner indices forming the 12 box edges (bounding_box.py:107).
-EDGE_CORNER_INDEXES = jnp.asarray(
+EDGE_CORNER_INDEXES = np.asarray(
     [[0, 1], [1, 2], [2, 3], [3, 0], [4, 5], [5, 6], [6, 7], [7, 4],
      [0, 4], [1, 5], [2, 6], [3, 7]]
 )

@@ -48,10 +48,13 @@ def max_pool_2x2(x: jnp.ndarray) -> jnp.ndarray:
 def _max_pool_2x2_even(x: jnp.ndarray) -> jnp.ndarray:
     """2x2/2 max pool with an equality-mask backward.
 
-    The backward routes cotangent to every input equal to its window's max —
-    pure broadcast/elementwise work instead of XLA's select-and-scatter.
-    (Tied maxima each receive the full cotangent; ties are measure-zero for
-    float activations.)"""
+    The backward routes the cotangent to the FIRST input equal to its
+    window's max (row-major within the window) — pure broadcast/elementwise
+    work instead of XLA's select-and-scatter, with the same one-winner
+    semantics on ties. Ties are common here: the pools sit after ReLUs
+    (VGG perceptual), where flat image regions produce exactly equal
+    activations, so an every-winner backward would over-count gradient
+    2-4x in those windows."""
     return _windowed(x).max(axis=(-4, -2))
 
 
@@ -62,10 +65,18 @@ def _max_pool_2x2_fwd(x):
 
 def _max_pool_2x2_bwd(residual, g):
     x, y = residual
-    xw = _windowed(x)
+    xw = _windowed(x)  # (..., h2, 2, w2, 2, c); window axes -4 and -2
     yb = y[..., :, None, :, None, :]
     gb = g[..., :, None, :, None, :]
-    grad = jnp.where(xw == yb, gb, jnp.zeros_like(gb))
+    mask = xw == yb
+    # Count of tied maxima lexicographically before each window position
+    # (row-major over the 2x2 window), without reshuffling the layout:
+    # exclusive cumsum within the row + full rows before this row.
+    within = jnp.cumsum(mask, axis=-2) - mask
+    rows_total = jnp.sum(mask, axis=-2, keepdims=True)
+    rows_before = jnp.cumsum(rows_total, axis=-4) - rows_total
+    first = mask & ((within + rows_before) == 0)
+    grad = jnp.where(first, gb, jnp.zeros_like(gb))
     return (grad.reshape(x.shape),)
 
 

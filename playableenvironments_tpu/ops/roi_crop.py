@@ -16,22 +16,6 @@ import jax
 import jax.numpy as jnp
 
 
-def _bilinear_sample(image: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray) -> jnp.ndarray:
-    """Sample image (H, W, C) at fractional pixel centers (h, w) grids."""
-    h, w = image.shape[0], image.shape[1]
-    y0 = jnp.clip(jnp.floor(ys), 0, h - 1)
-    x0 = jnp.clip(jnp.floor(xs), 0, w - 1)
-    y1 = jnp.clip(y0 + 1, 0, h - 1)
-    x1 = jnp.clip(x0 + 1, 0, w - 1)
-    wy = jnp.clip(ys - y0, 0.0, 1.0)[..., None]
-    wx = jnp.clip(xs - x0, 0.0, 1.0)[..., None]
-    y0i, y1i, x0i, x1i = y0.astype(int), y1.astype(int), x0.astype(int), x1.astype(int)
-
-    top = image[y0i, x0i] * (1 - wx) + image[y0i, x1i] * wx
-    bottom = image[y1i, x0i] * (1 - wx) + image[y1i, x1i] * wx
-    return top * (1 - wy) + bottom * wy
-
-
 def _interp_weights(positions: jnp.ndarray, in_size: int) -> jnp.ndarray:
     """Dense bilinear interpolation matrix: W[..., i, s] = tent(|p_i - s|),
     positions clamped to [0, in_size-1] (same edge semantics as clipped

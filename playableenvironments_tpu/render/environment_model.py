@@ -556,7 +556,11 @@ class EnvironmentModel(nn.Module):
 
         ray_directions, _, _ = rays_lib.camera_rays(height, width, rescaled_focals)
 
-        if patch_size and samples_per_image:
+        # patch_size > 0 alone selects patch sampling (it needs no ray
+        # count — the patch geometry fixes it); dispatching on
+        # `patch_size and samples_per_image` used to silently fall through
+        # to the whole-image grid when samples_per_image == 0.
+        if patch_size:
             key = self.make_rng("ray_sampling")
             sampled_directions, sampled_observations, sampled_positions = (
                 sampling.sample_rays_strided_patch(
@@ -694,9 +698,13 @@ class EnvironmentModel(nn.Module):
         scene encoding. Reference: environment_model.py:1041-1158 +
         render_full_frame_from_scene_encoding (581-651).
 
-        :param ray_tile: if > 0, render rays in tiles of this size via
-            `jax.lax.map` (bounds peak memory inside one compiled program —
-            the TPU-native replacement for samples_per_image_batching).
+        :param ray_tile: if > 0, render rays in trace-time tiles of this
+            size (the reference's samples_per_image_batching without leaving
+            the program). Each tile is a separate composer call in one HLO:
+            compile time grows with the tile count and XLA may still
+            interleave tiles, so this is a live-buffer hint, not a hard
+            memory bound — prefer the fused fast path (render.fast) for
+            full-frame eval renders.
         :return: composer results with ray axes flattened over the image grid;
             use `sampling.split_strided_grid_samples` to fold back.
         """
@@ -723,9 +731,10 @@ class EnvironmentModel(nn.Module):
 
         if ray_tile and sampled_directions.shape[-2] > ray_tile:
             # Static trace-time tiling over the ray axis: each tile is one
-            # composer call; XLA schedules them sequentially, bounding peak
-            # memory. (The reference's host-side samples_per_image_batching
-            # loop, environment_model.py:474-521, without leaving the program.)
+            # composer call unrolled into the same program (the reference's
+            # host-side samples_per_image_batching loop,
+            # environment_model.py:474-521, without leaving the program).
+            # See the ray_tile docstring for the compile-time/memory caveats.
             total = sampled_directions.shape[-2]
             tile_results = []
             for begin in range(0, total, ray_tile):
@@ -825,6 +834,11 @@ class EnvironmentModel(nn.Module):
                 )
             )
             next_positions = prev_positions + prev_flow
+            # Positions are pixel/H while align_corners=True maps p*(H-1):
+            # an up-to-1-px mapping skew, INTENTIONALLY uncorrected to match
+            # the reference (environment_model.py:1325-1326 passes
+            # correct_range=False: the flow comes from an unknown higher
+            # resolution, so the residual error is unknown but small).
             next_dirs = sampling.sample_at_positions(
                 directions[:, 1:], next_positions
             )

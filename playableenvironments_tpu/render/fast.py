@@ -275,6 +275,13 @@ def render_rays_fast(
         })
 
     # ---- Overlap fix (Minecraft): full-domain static objects only --------
+    # NOTE: the fix zeroes masked samples' t MID-ARRAY (matching the
+    # reference, which then re-sorts in its cat+sort compose). This path is
+    # sort-free, so overlap-fixed objects lose the "t ascending" invariant
+    # and are marked `unsorted`: their own-successor/own-distance lookups
+    # below switch from t[i+1] to an order-robust masked min.
+    for entry in per:
+        entry["unsorted"] = False
     if scene.fix_object_overlaps:
         static_count = object_ids.static_objects_count
         for s in range(static_count):
@@ -298,23 +305,37 @@ def render_rays_fast(
                     entry["raw_alpha_c"], entry["t_c"],
                     jnp.zeros_like(entry["disp_c"]), entry["disp_c"],
                     jnp.zeros_like(entry["t_c"]),
-                    entry["o_origins_c"][..., None, :], mask,
+                    entry["o_origins_c"], mask,
                 )
             )
             entry["t_c"] = new_t
             entry["t_full"] = new_t  # full domain == compacted domain here
+            entry["unsorted"] = True
 
     # ---- Phase 2: successor distances + alphas per object ----------------
     # Total order = lexicographic (t, concat index): a stable sort of the
     # concatenation. Cross-object candidates come from full-ray t geometry
     # gathered at this object's compacted rays (masked min — no searchsorted,
     # whose binary-search lowering serializes on TPU).
+    def _next_within(t_a):
+        """Successor t within one object's own sample array, robust to
+        unsorted t: min over samples strictly after (t, index)-lexicographic.
+        Equals t[i+1] (with `big` fill) when t_a is ascending."""
+        s = t_a.shape[-1]
+        idx = jnp.arange(s)
+        ti, tj = t_a[..., :, None], t_a[..., None, :]
+        later = (tj > ti) | ((tj == ti) & (idx[None, :] > idx[:, None]))
+        return jnp.min(jnp.where(later, tj, big), axis=-1)
+
     t_b_at_cache = {}
     for a, entry in enumerate(per):
         t_a = entry["t_c"]  # (L, B, S_a)
-        own_next = jnp.concatenate(
-            [t_a[..., 1:], jnp.full_like(t_a[..., :1], big)], axis=-1
-        )
+        if entry["unsorted"]:
+            own_next = _next_within(t_a)
+        else:
+            own_next = jnp.concatenate(
+                [t_a[..., 1:], jnp.full_like(t_a[..., :1], big)], axis=-1
+            )
         if entry["compact"]:
             # One wide gather of every OTHER object's full-domain t at this
             # object's compacted rays (same `order` indices for all of them).
@@ -443,13 +464,19 @@ def render_rays_fast(
 
         # Per-object integration (own-sample spacing, own transmittance —
         # compositing.integrate semantics), scattered to the full ray set.
-        own_dist = jnp.concatenate(
-            [
-                t_a[..., 1:] - t_a[..., :-1],
-                jnp.full_like(t_a[..., :1], 1e10),
-            ],
-            axis=-1,
-        ) * entry["dirn_c"][..., None]
+        if entry["unsorted"]:
+            own_succ = _next_within(t_a)
+            own_dist = jnp.where(
+                own_succ >= big, 1e10, own_succ - t_a
+            ) * entry["dirn_c"][..., None]
+        else:
+            own_dist = jnp.concatenate(
+                [
+                    t_a[..., 1:] - t_a[..., :-1],
+                    jnp.full_like(t_a[..., :1], 1e10),
+                ],
+                axis=-1,
+            ) * entry["dirn_c"][..., None]
         own_alphas = 1.0 - jnp.exp(
             -jax.nn.relu(entry["raw_alpha_c"]) * own_dist
         )

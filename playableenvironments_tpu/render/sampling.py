@@ -62,6 +62,11 @@ def sample_indices_from_weights(
     :return: (..., samples) int32 flat indices into H*W.
     """
     flat = weight_image.reshape(weight_image.shape[:-2] + (-1,))
+    # All-zero weight images (every box degenerate/off-screen for a frame)
+    # fall back to uniform sampling instead of a NaN CDF that would silently
+    # collapse every sample onto one corner pixel.
+    total = jnp.sum(flat, axis=-1, keepdims=True)
+    flat = jnp.where(total > 0, flat, 1.0)
     cdf = jnp.cumsum(flat / jnp.sum(flat, axis=-1, keepdims=True), axis=-1)
     u = jax.random.uniform(key, cdf.shape[:-1] + (samples,), dtype=cdf.dtype)
     idx = _batched_searchsorted(cdf, u, side="left")
@@ -417,9 +422,8 @@ def sample_rays_at_object(
     weight_image = build_weight_image(
         bounding_box[..., None, :], [1.0], h, w
     )
-    # Degenerate (zero-area) boxes fall back to uniform sampling.
-    total = jnp.sum(weight_image, axis=(-1, -2), keepdims=True)
-    weight_image = jnp.where(total > 0, weight_image, 1.0)
+    # Degenerate (zero-area) boxes fall back to uniform sampling — handled
+    # inside sample_indices_from_weights.
     idx = sample_indices_from_weights(key, weight_image, samples_per_image)
     positions = indices_to_positions(idx, h, w)
 

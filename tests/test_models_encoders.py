@@ -20,10 +20,27 @@ from playableenvironments_tpu.models.parameter_encoders import (
     static_object_poses,
 )
 from playableenvironments_tpu.ops.roi_crop import (
-    _bilinear_sample,
     crop_and_resize,
     expand_boxes,
 )
+
+
+def _bilinear_sample(image, ys, xs):
+    """Corner-gather bilinear sampling oracle (clipped edges) for the crop
+    parity test; the production crop uses the separable-matmul form."""
+    h, w = image.shape[0], image.shape[1]
+    y0 = jnp.clip(jnp.floor(ys), 0, h - 1)
+    x0 = jnp.clip(jnp.floor(xs), 0, w - 1)
+    y1 = jnp.clip(y0 + 1, 0, h - 1)
+    x1 = jnp.clip(x0 + 1, 0, w - 1)
+    wy = jnp.clip(ys - y0, 0.0, 1.0)[..., None]
+    wx = jnp.clip(xs - x0, 0.0, 1.0)[..., None]
+    y0i, y1i, x0i, x1i = (
+        y0.astype(int), y1.astype(int), x0.astype(int), x1.astype(int)
+    )
+    top = image[y0i, x0i] * (1 - wx) + image[y0i, x1i] * wx
+    bottom = image[y1i, x0i] * (1 - wx) + image[y1i, x1i] * wx
+    return top * (1 - wy) + bottom * wy
 
 
 def test_crop_matches_gather_bilinear():

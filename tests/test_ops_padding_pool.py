@@ -68,3 +68,16 @@ def test_max_pool_matches_nn(rng):
     )(x)
     # Distinct float activations -> unique window maxima -> grads identical.
     np.testing.assert_allclose(got, want)
+
+
+def test_max_pool_tied_maxima_single_winner():
+    """Tied maxima (flat post-ReLU regions) route the cotangent to exactly
+    one window element — gradient mass is preserved, not multiplied."""
+    x = jnp.ones((1, 4, 4, 2))  # every window fully tied
+    g = jnp.asarray(np.arange(1, 9, dtype=np.float32).reshape(1, 2, 2, 2))
+    grad = jax.grad(lambda x: (max_pool_2x2(x) * g).sum())(x)
+    # Total routed gradient equals the total cotangent...
+    np.testing.assert_allclose(grad.sum(), g.sum())
+    # ...and each window has exactly one nonzero recipient.
+    nonzero = (np.asarray(grad) != 0).reshape(1, 2, 2, 2, 2, 2).sum(axis=(2, 4))
+    assert (nonzero == 1).all()

@@ -157,3 +157,59 @@ def test_fast_path_matches_composer(key, apply_activation):
         np.asarray(expected["coarse"]["object_1"]["opacity"]),
         atol=5e-2, rtol=5e-2,
     )
+
+
+def test_fast_path_matches_composer_with_overlap_fix(key):
+    """fix_object_overlaps zeroes masked static samples' t MID-ARRAY; the
+    sort-free fast path must not read them as own-successors (regression:
+    negative inter-sample distances -> negative alphas/weights)."""
+    import dataclasses
+
+    scene = dataclasses.replace(
+        scene_with_bender(), apply_activation=True, fix_object_overlaps=True
+    )
+    composer = SceneComposer(scene)
+    n_obj, rays = 2, 6
+    origins = jnp.zeros((2, 3)).at[:, 2].set(3.0)
+    # Rays pointed straight through both objects so the dynamic object's
+    # sampled t interval genuinely masks static samples.
+    directions = jax.random.normal(key, (2, rays, 3)) * 0.05 + jnp.asarray(
+        [0.0, 0.0, -1.0]
+    )
+    normals = jnp.asarray([0.0, 0.0, -1.0])[None].repeat(2, 0)
+    w2o = jnp.eye(4)[None, None].repeat(2, 0).repeat(n_obj, 1)
+    style = jax.random.normal(key, (2, n_obj, 8))
+    deformation = jax.random.normal(key, (2, n_obj, 4))
+    in_scene = jnp.ones((2, n_obj), dtype=bool)
+
+    variables = composer.init(
+        key, origins, directions, normals, w2o, style, deformation, in_scene
+    )
+    _, mutated = composer.apply(
+        variables, origins, directions, normals, w2o, style, deformation,
+        in_scene, mutable=["batch_stats"],
+    )
+    variables = {"params": variables["params"], "batch_stats": mutated["batch_stats"]}
+
+    expected = composer.apply(
+        variables, origins, directions, normals, w2o, style, deformation,
+        in_scene, use_running_average=True,
+    )
+    got = fast.render_rays_fast(
+        scene, {"params": {"composer": variables["params"]},
+                "batch_stats": {"composer": variables["batch_stats"]}},
+        origins, directions, normals, w2o, style, deformation, in_scene,
+        block_points=64, interpret=True,
+    )
+
+    for field in ("integrated_features", "opacity", "depth"):
+        np.testing.assert_allclose(
+            np.asarray(got["coarse"]["global"][field]),
+            np.asarray(expected["coarse"]["global"][field]),
+            atol=5e-2, rtol=5e-2, err_msg=field,
+        )
+    # Weights/opacities must be physical (regression guard: the unsorted t
+    # produced negative alphas with opacity outside [0, 1]).
+    for obj in ("object_0", "object_1"):
+        op = np.asarray(got["coarse"][obj]["opacity"])
+        assert (op > -1e-5).all() and (op < 1.0 + 1e-5).all(), (obj, op)

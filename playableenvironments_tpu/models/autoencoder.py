@@ -25,6 +25,12 @@ from playableenvironments_tpu.ops.padding import reflect_pad_hw as reflect_pad
 from playableenvironments_tpu.ops.pool import avg_pool_2x2
 
 
+def s2d_cap(train: bool) -> int:
+    """The tuned space-to-depth block cap per regime: 8 for training batches,
+    32 for bs-1 inference (see _s2d_block). ONE policy for every conv."""
+    return 8 if train else 32
+
+
 def _s2d_block(
     kernel_size: Tuple[int, int], features: int, width: int, cap: int
 ) -> int:
@@ -95,7 +101,7 @@ class CycleGanResnetBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
         dtype = jnp.dtype(self.compute_dtype)
-        cap = 8 if train else 32
+        cap = s2d_cap(train)
         y = reflect_pad(x.astype(dtype), 1)
         y = SwitchableConv(self.out_features, (3, 3), self.compute_dtype,
                            use_bias=False, name="conv1")(y, cap)
@@ -162,7 +168,7 @@ class MultiresEncoder(nn.Module):
             2 ** sum(self.cfg.downsampling_layers_count)
         )
 
-        cap = 8 if train else 32
+        cap = s2d_cap(train)
         y = reflect_pad(x.astype(dtype), 3)
         y = SwitchableConv(initial, (7, 7), self.cfg.compute_dtype,
                            use_bias=False, name="initial_conv")(y, cap)
@@ -254,7 +260,7 @@ class MultiresDecoder(nn.Module):
                 y = SwitchableConv(
                     initial * mult // 2, (3, 3), self.cfg.compute_dtype,
                     use_bias=False, name=f"up_{set_idx}_{i}",
-                )(y, 8 if train else 32)
+                )(y, s2d_cap(train))
                 y = nn.BatchNorm(
                     use_running_average=not train, dtype=dtype,
                     name=f"up_bn_{set_idx}_{i}"
@@ -277,7 +283,7 @@ class MultiresDecoder(nn.Module):
         y = SwitchableConv(
             self.cfg.input_features, (7, 7), self.cfg.compute_dtype,
             name="final_conv",
-        )(y, 8 if train else 32)
+        )(y, s2d_cap(train))
         return nn.sigmoid(y.astype(jnp.float32))
 
 

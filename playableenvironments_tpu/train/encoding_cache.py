@@ -75,9 +75,10 @@ class EncodingCache:
         try:
             samples = len(dataset)
             if samples == 0:
+                # observations_count is 1 here, so every decoded frame is a
+                # valid window: zero samples can only mean zero frames.
                 raise ValueError(
-                    "encoding cache: the dataset has no frames (empty split "
-                    "or every video shorter than one observation window)"
+                    "encoding cache: the dataset has no frames (empty split)"
                 )
             video_slices: List[Tuple[int, int]] = []
             start = 0

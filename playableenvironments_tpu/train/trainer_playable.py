@@ -211,11 +211,15 @@ class PlayableTrainer:
             variables = merged
 
         # Two optimizers, like the reference's alternated G/D Adam pair
-        # (playable_model_trainer_discriminator.py:195-234): the main tx is
-        # masked to non-discriminator params, the discriminator tx to the
-        # discriminator subtree (its opt state rides in extra). Masking keeps
-        # each pass from polluting the other group's Adam momenta with
-        # zero-grad updates.
+        # (playable_model_trainer_discriminator.py:195-234): the main tx
+        # steps non-discriminator params, the discriminator tx the
+        # discriminator subtree (its opt state rides in extra). Each tx must
+        # also ZERO the other group's updates: optax.masked passes
+        # masked-out leaves through UNCHANGED, i.e. the raw gradient —
+        # the generator's adversarial loss has nonzero grads w.r.t. the
+        # discriminator (no stop_gradient there), which would otherwise be
+        # added to the discriminator verbatim (unscaled, bypassing its Adam)
+        # on every generator pass.
         import optax
 
         def _mask(params, want_discriminator: bool):
@@ -233,15 +237,21 @@ class PlayableTrainer:
             self.cfg.weight_decay,
         )
         if self.playable_model.with_discriminators:
-            tx = optax.masked(base_tx, lambda p: _mask(p, False))
-            self.tx_disc = optax.masked(
-                make_optimizer(
-                    self.cfg.learning_rate,
-                    self.cfg.lr_gamma,
-                    self.cfg.lr_decay_iterations,
-                    self.cfg.weight_decay,
+            tx = optax.chain(
+                optax.masked(base_tx, lambda p: _mask(p, False)),
+                optax.masked(optax.set_to_zero(), lambda p: _mask(p, True)),
+            )
+            self.tx_disc = optax.chain(
+                optax.masked(
+                    make_optimizer(
+                        self.cfg.learning_rate,
+                        self.cfg.lr_gamma,
+                        self.cfg.lr_decay_iterations,
+                        self.cfg.weight_decay,
+                    ),
+                    lambda p: _mask(p, True),
                 ),
-                lambda p: _mask(p, True),
+                optax.masked(optax.set_to_zero(), lambda p: _mask(p, False)),
             )
         else:
             tx = base_tx

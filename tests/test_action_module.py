@@ -314,6 +314,20 @@ def test_phase3_gan_fused_step(phase3_setup, tmp_path):
     assert changed("animation_model")
     assert changed("discriminator")
 
+    # A lone GENERATOR step must leave the discriminator params untouched:
+    # optax.masked passes masked-out leaves' raw gradients through, and the
+    # G adversarial loss has nonzero grads w.r.t. the discriminator
+    # (regression: they were added verbatim every generator pass).
+    g_state, _ = jax.jit(trainer.train_step)(
+        state, encoding, jax.random.PRNGKey(9)
+    )
+    for key_name, before_v in state.params.items():
+        if key_name.startswith("discriminator"):
+            after_leaves = jax.tree.leaves(g_state.params[key_name])
+            before_leaves = jax.tree.leaves(before_v)
+            for a, b in zip(after_leaves, before_leaves):
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
     # The discriminators' spectral-norm power-iteration vectors (u/sigma in
     # batch_stats) must persist across steps — torch spectral_norm carries u
     # forward; restarting from the init vector every step never converges to

@@ -84,7 +84,11 @@ def project_box_to_image(
     cam = transform_points(world, w2c)
 
     z = cam[:, 2]
-    behind = np.all(z > 0)
+    # ANY corner behind the camera invalidates the box: dividing a
+    # behind-camera corner by its (positive) z flips the projection's sign,
+    # so the min/max over a mixed corner set is garbage that would clip into
+    # [0, 1] and pass as a plausible-looking box.
+    behind = np.any(z > 0)
     safe_z = np.where(np.abs(z) < 1e-8, -1e-8, z)
     projected = -cam[:, :2] / safe_z[:, None] * focal
     projected[:, 1] *= -1  # image rows grow downward

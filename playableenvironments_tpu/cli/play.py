@@ -88,6 +88,10 @@ class InteractiveSession:
             anim_cfg = self.playable_model.scene.animation_models[
                 self.object_ids.animation_model_idx_by_dynamic_object_idx(dynamic_idx)
             ]
+            # Clamp out-of-range keys: one_hot of an out-of-range index is
+            # the all-zero vector, which would silently drive the dynamics
+            # with an undefined non-action.
+            action = max(0, min(int(action), anim_cfg.actions_count - 1))
             one_hot = jax.nn.one_hot(
                 jnp.asarray([action]), anim_cfg.actions_count
             )

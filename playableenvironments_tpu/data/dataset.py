@@ -59,15 +59,34 @@ class MulticameraVideoDataset:
         self.target_size = target_size
         self.set_observations_count(observations_count)
 
-    def set_observations_count(self, observations_count: int):
+    def set_observations_count(
+        self, observations_count: int, window_stride: int = 1
+    ):
         """Re-derive the sample index space (video_dataset.py:58-71); used by
-        phase-3 sequence-length annealing mid-training."""
+        phase-3 sequence-length annealing mid-training.
+
+        :param window_stride: spacing between window starts. 1 (default) =
+            every offset, as in reference training; pass the window length
+            for NON-overlapping windows — the dataset creators need this so
+            later windows don't overwrite earlier windows' rendered frames
+            (the reference sidesteps it by pre-fragmenting eval videos to
+            exactly one window each).
+        """
         self.observations_count = observations_count
         block = (self.skip_frames + 1) * (observations_count - 1) + 1
         self._index = []
+        # Dataset-global frame numbering (video offsets): per-frame learned
+        # camera offsets are indexed by these, so frame k of video 0 and
+        # frame k of video 1 must NOT alias to the same storage row.
+        self._video_frame_offsets = []
+        offset = 0
+        for video in self.videos:
+            self._video_frame_offsets.append(offset)
+            offset += video.frames_count
+        self.total_frames = offset
         for video_idx, video in enumerate(self.videos):
             usable = video.frames_count - block + 1
-            for start in range(max(usable, 0)):
+            for start in range(0, max(usable, 0), max(window_stride, 1)):
                 self._index.append((video_idx, start))
 
     def __len__(self) -> int:
@@ -211,7 +230,10 @@ class MulticameraVideoDataset:
             "focals": np.stack(focals),
             "bounding_boxes": np.stack(boxes),
             "bounding_boxes_validity": np.stack(validity),
-            "global_frame_indexes": np.asarray(frame_indexes, np.int32),
+            "global_frame_indexes": np.asarray(
+                [self._video_frame_offsets[video_idx] + i for i in frame_indexes],
+                np.int32,
+            ),
             "video_frame_indexes": np.asarray(frame_indexes, np.int32),
             "video_index": video_idx,
             "actions": np.asarray(
@@ -249,17 +271,35 @@ class MulticameraVideoDataset:
         if n_batches == 0:
             return
 
+        # The consumer may abandon the generator early (`next(...)` once,
+        # `break` after N batches — most call sites do); `stop` unblocks the
+        # producer so it exits instead of leaking a thread pinning ~prefetch
+        # collated video batches forever.
+        stop = threading.Event()
+
         def producer(q):
             for b in range(n_batches):
+                if stop.is_set():
+                    return
                 idxs = order[b * batch_size : (b + 1) * batch_size]
-                q.put(collate([self[int(i)] for i in idxs]))
+                item = collate([self[int(i)] for i in idxs])
+                while True:
+                    try:
+                        q.put(item, timeout=0.5)
+                        break
+                    except queue.Full:
+                        if stop.is_set():
+                            return
             q.put(None)
 
         q: "queue.Queue" = queue.Queue(maxsize=prefetch)
         thread = threading.Thread(target=producer, args=(q,), daemon=True)
         thread.start()
-        while True:
-            batch = q.get()
-            if batch is None:
-                break
-            yield batch
+        try:
+            while True:
+                batch = q.get()
+                if batch is None:
+                    break
+                yield batch
+        finally:
+            stop.set()

@@ -28,15 +28,12 @@ PLAYER_SIZE = (0.8, 0.8, 1.8)  # x, y extent and height (z up)
 
 
 def _euler_matrix(rotation: np.ndarray) -> np.ndarray:
-    """R = Ry @ Rx @ Rz (the framework's z->x->y convention)."""
-    rx, ry, rz = rotation
-    cx, sx = np.cos(rx), np.sin(rx)
-    cy, sy = np.cos(ry), np.sin(ry)
-    cz, sz = np.cos(rz), np.sin(rz)
-    mx = np.asarray([[1, 0, 0], [0, cx, -sx], [0, sx, cx]])
-    my = np.asarray([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])
-    mz = np.asarray([[cz, -sz, 0], [sz, cz, 0], [0, 0, 1]])
-    return my @ mx @ mz
+    """R = Ry @ Rx @ Rz — ONE shared implementation of the framework's
+    z->x->y convention (acquisition.geometry), so the synthetic generator
+    can never silently diverge from the real pipeline."""
+    from playableenvironments_tpu.acquisition.geometry import euler_to_matrix
+
+    return euler_to_matrix(np.asarray(rotation, np.float64))
 
 
 def render_frame(

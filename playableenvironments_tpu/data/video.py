@@ -285,6 +285,14 @@ class Video:
         (the dataset-preparation op, dataset/video.py:625-733). Optical flow
         is not carried over.
 
+        CAVEAT (matches the reference exactly, same lines): annotations are
+        copied UNREMAPPED — `crop_size` shifts what normalized bounding
+        boxes refer to, and resizing changes the pixels-per-unit scale while
+        `focals` stay in original pixels. The published pipelines only crop
+        before annotating and absorb resize via `focal_length_multiplier`;
+        do the same, or remap boxes/focals yourself when cropping annotated
+        videos.
+
         :param frame_skip: source frames skipped between kept frames.
         :param output_sequence_length: frames per output video (-1 keeps all).
         :param crop_size: (left, top, right, bottom) pixel crop before resize.
@@ -422,8 +430,28 @@ class Video:
         return self.frame_paths[idx]
 
     def image_size(self) -> Tuple[int, int]:
-        """(height, width) of the frames."""
-        return self.get_frame(0).shape[:2]
+        """(height, width) of the frames. Cached — this sits on the hot
+        data-loading path (one call per __getitem__ when target_size is
+        unset); the native PNG header read avoids a full frame decode."""
+        if self._frames_in_memory is not None:
+            return tuple(self._frames_in_memory[0].shape[:2])
+        cached = getattr(self, "_image_size", None)
+        if cached is not None:
+            return cached
+        size = None
+        path = self.frame_paths[0] if self.frame_paths else None
+        if path and path.lower().endswith(".png"):
+            from playableenvironments_tpu.data import native_loader
+
+            if native_loader.available():
+                try:
+                    size = tuple(native_loader.png_size(path))
+                except (IOError, RuntimeError):
+                    size = None
+        if size is None:
+            size = tuple(self.get_frame(0).shape[:2])
+        self._image_size = size
+        return size
 
     @property
     def has_flow(self) -> bool:

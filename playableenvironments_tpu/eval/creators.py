@@ -199,7 +199,15 @@ class ReconstructedCameraManipulationDatasetCreator:
         observations_count: int,
     ) -> str:
         os.makedirs(output_root, exist_ok=True)
-        dataset.set_observations_count(observations_count)
+        # NON-overlapping windows: with the default stride-1 index space,
+        # every later window re-renders (and overwrites) earlier windows'
+        # frames with its own t=0 reconstruction, degrading the mirror to a
+        # per-frame recon. (The reference pre-fragments eval videos to one
+        # window each; this handles longer videos too.)
+        dataset.set_observations_count(
+            observations_count,
+            window_stride=(dataset.skip_frames + 1) * (observations_count - 1) + 1,
+        )
         for batch in dataset.iterate_batches(
             self.batch_size, shuffle=False, drop_last=False
         ):
@@ -285,7 +293,13 @@ class ReconstructedPlayabilityDatasetCreator:
         )
 
         os.makedirs(output_root, exist_ok=True)
-        dataset.set_observations_count(observations_count)
+        # Non-overlapping re-enactment windows (see the camera-manipulation
+        # creator): overlapping windows would overwrite each rollout frame
+        # with the next window's t=0 GT-seeded render.
+        dataset.set_observations_count(
+            observations_count,
+            window_stride=(dataset.skip_frames + 1) * (observations_count - 1) + 1,
+        )
         inferred_actions_by_video: Dict[int, Dict[int, List[int]]] = {}
 
         for batch in dataset.iterate_batches(

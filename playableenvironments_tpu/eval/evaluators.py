@@ -99,11 +99,27 @@ class ReconstructedDatasetEvaluator:
             vgg_variables = init_vgg19(jax.random.PRNGKey(0), cuts=3)
         self._vgg_sim_fn = _make_vgg_sim_fn(vgg_variables)
 
+    def _on_frames(
+        self,
+        video_idx: int,
+        camera_idx: int,
+        ref_frames: np.ndarray,
+        gen_frames: np.ndarray,
+    ) -> None:
+        """Subclass hook over each already-decoded (T, H, W, 3) stack pair."""
+
     def compute_metrics(
         self, reference_root: str, generated_root: str
     ) -> Dict[str, float]:
         reference = MulticameraVideoDataset(reference_root, observations_count=1)
         generated = MulticameraVideoDataset(generated_root, observations_count=1)
+        if len(reference.videos) != len(generated.videos):
+            # Same contract as the FVD evaluator: zipping silently truncates
+            # (or worse, mispairs) when a generation run died halfway.
+            raise ValueError(
+                "reference and generated datasets should have the same videos: "
+                f"{len(reference.videos)} vs {len(generated.videos)}"
+            )
 
         mses, psnrs, ssims, masked_mses, lpips_values = [], [], [], [], []
         vgg_sims = []
@@ -177,6 +193,11 @@ class ReconstructedDatasetEvaluator:
                     fid.update_reference(ref_frames)
                     fid.update_generated(gen_frames)
 
+                # Subclass hook over the already-decoded stacks (the
+                # playability evaluator folds its FVD accumulation in here
+                # instead of re-decoding every frame a second time).
+                self._on_frames(video_idx, camera_idx, ref_frames, gen_frames)
+
         results = {
             "mse": float(np.mean(mses)),
             "psnr": float(np.mean(psnrs)),
@@ -220,23 +241,38 @@ class ReconstructedPlayabilityDatasetEvaluator(ReconstructedDatasetEvaluator):
         # (reconstructed_playability_dataset_evaluator.py:467-505).
         self.plots_directory = plots_directory
 
+    def _on_frames(self, video_idx, camera_idx, ref_frames, gen_frames):
+        # FVD over aligned clips, folded into the parent's decode loop so
+        # every frame is decoded exactly once (camera 0 only, matching the
+        # reference's playability FVD).
+        if camera_idx != 0:
+            return
+        frames_count = ref_frames.shape[0]
+        for start in range(0, frames_count - self.clip_length + 1, self.clip_length):
+            self._fvd.update_reference(
+                ref_frames[None, start : start + self.clip_length]
+            )
+            self._fvd.update_generated(
+                gen_frames[None, start : start + self.clip_length]
+            )
+
     def compute_metrics(
         self, reference_root: str, generated_root: str
     ) -> Dict[str, float]:
+        self._fvd = IncrementalFVD()
         results = super().compute_metrics(reference_root, generated_root)
+        fvd = self._fvd
 
+        # Annotation-only pass (no frame decode): ground-truth object
+        # movement (box centers) vs the inferred actions recorded by the
+        # playability creator.
         reference = MulticameraVideoDataset(reference_root, observations_count=1)
         generated = MulticameraVideoDataset(generated_root, observations_count=1)
-
         movements, actions = [], []
-        fvd = IncrementalFVD()
         for ref_video, gen_video in zip(reference.videos, generated.videos):
             cam_ref = ref_video.videos[0]
             cam_gen = gen_video.videos[0]
             frames_count = min(cam_ref.frames_count, cam_gen.frames_count)
-
-            # Ground-truth object movement (box centers) vs inferred actions
-            # recorded by the playability creator.
             for i in range(frames_count - 1):
                 entry = cam_gen.metadata[i] if i < len(cam_gen.metadata) else {}
                 action = entry.get("inferred_action") if isinstance(entry, dict) else None
@@ -246,13 +282,6 @@ class ReconstructedPlayabilityDatasetEvaluator(ReconstructedDatasetEvaluator):
                     continue
                 movements.append((c1[0] - c0[0]))
                 actions.append(int(action))
-
-            # FVD over aligned clips.
-            ref_frames = np.stack([cam_ref.get_frame(i) for i in range(frames_count)])
-            gen_frames = np.stack([cam_gen.get_frame(i) for i in range(frames_count)])
-            for start in range(0, frames_count - self.clip_length + 1, self.clip_length):
-                fvd.update_reference(ref_frames[None, start : start + self.clip_length])
-                fvd.update_generated(gen_frames[None, start : start + self.clip_length])
 
         if movements:
             movements_np = np.stack(movements)

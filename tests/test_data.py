@@ -112,6 +112,24 @@ def test_dataset_windowing(dataset_root):
     ds.set_observations_count(2)
     assert len(ds) == 2 * (10 - 2)
 
+    # Non-overlapping windows (the dataset creators' mode: overlapping
+    # windows would overwrite each other's rendered frames). skip_frames=1
+    # here, so a 2-obs window spans 3 frames; usable starts are 0..7.
+    ds.set_observations_count(2, window_stride=2)
+    starts = [ds._index[i] for i in range(len(ds))]
+    assert starts == [
+        (0, 0), (0, 2), (0, 4), (0, 6), (1, 0), (1, 2), (1, 4), (1, 6)
+    ]
+
+    # Dataset-global frame numbering must not alias across videos (learned
+    # per-frame camera offsets are indexed by it).
+    ds.set_observations_count(2)
+    first_video = ds[0]
+    second_video = ds[len(ds) // 2]
+    assert first_video["global_frame_indexes"].tolist() == [0, 2]
+    assert second_video["global_frame_indexes"].tolist() == [10, 12]
+    assert second_video["video_frame_indexes"].tolist() == [0, 2]
+
 
 def test_batch_iteration(dataset_root):
     ds = MulticameraVideoDataset(

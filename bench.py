@@ -270,12 +270,10 @@ def bench_interactive_fps():
     )
 
 
-def bench_train_step():
-    """Phase-2 training step time at the published tennis scale (bs 8, 4 obs,
-    144 rays/img, 72 MLP samples/ray, full loss set, Adam). bfloat16 MLP
-    compute (f32 params/geometry/stats). vs_baseline converts the step's ray
-    throughput against the same ~2.3e4 rays/s A100 eager-reference estimate
-    as the render benchmark (module docstring)."""
+def _phase2_setup():
+    """Shared published-scale phase-2 trainer/batch (bs 8, 4 obs, 144
+    rays/img, bf16 fused MLPs) used by both the step benchmark and the soak
+    — ONE configuration so the soak always measures the headline setup."""
     import dataclasses
 
     import jax
@@ -337,6 +335,19 @@ def bench_train_step():
         video_indexes=np.zeros((bs,), np.int32),
     )
     state = trainer.init_state(jax.random.PRNGKey(0), batch)
+    return trainer, state, batch, (bs, obs, cams)
+
+
+def bench_train_step():
+    """Phase-2 training step time at the published tennis scale (bs 8, 4 obs,
+    144 rays/img, 72 MLP samples/ray, full loss set, Adam). bfloat16 MLP
+    compute (f32 params/geometry/stats). vs_baseline converts the step's ray
+    throughput against the same ~2.3e4 rays/s A100 eager-reference estimate
+    as the render benchmark (module docstring)."""
+    import jax
+    import numpy as np
+
+    trainer, state, batch, (bs, obs, cams) = _phase2_setup()
     iters = int(os.environ.get("BENCH_ITERS", 20))
     dt = _chained_step_ms(trainer.train_step, state, batch, iters) / 1e3
 
@@ -502,66 +513,10 @@ def bench_soak():
     """Published-scale phase-2 soak: a few hundred train steps at 512x288 /
     bs 8 / 4 obs on the real chip, asserting the step time stays at BENCH
     levels (memory/shape cliffs the tiny tests cannot catch)."""
-    import dataclasses
-
     import jax
-    import jax.numpy as jnp
     import numpy as np
 
-    from playableenvironments_tpu.data.batching import Batch
-    from playableenvironments_tpu.render.environment_model import EnvironmentModel
-    from playableenvironments_tpu.train.trainer_synthesis import (
-        LossWeights,
-        SynthesisTrainer,
-        SynthesisTrainingConfig,
-    )
-
-    bs, obs, cams, h, w = 8, 4, 1, 288, 512
-    scene = build_scene()
-    scene = dataclasses.replace(
-        scene,
-        apply_activation=True,
-        object_models=tuple(
-            dataclasses.replace(
-                om,
-                ray_compaction=1.0,
-                nerf=dataclasses.replace(
-                    om.nerf, output_features=3, compute_dtype="bfloat16",
-                    use_fused_backbone=True,
-                ),
-                bender=dataclasses.replace(om.bender, compute_dtype="bfloat16"),
-            )
-            for om in scene.object_models
-        ),
-    )
-    model = EnvironmentModel(scene, focal_length_multiplier=1.0)
-    trainer = SynthesisTrainer(
-        model,
-        SynthesisTrainingConfig(
-            samples_per_image=144,
-            loss_weights=LossWeights(
-                reconstruction=1.0, opacity=0.01, attention=0.01, bounding_box=0.1
-            ),
-        ),
-    )
-    rng = np.random.default_rng(0)
-    frames = jnp.zeros((bs, obs), jnp.int32)
-    batch = Batch(
-        observations=jnp.asarray(rng.random((bs, obs, cams, h, w, 3), np.float32)),
-        camera_rotations=jnp.zeros((bs, obs, cams, 3)).at[..., 0].set(-0.65),
-        camera_translations=jnp.zeros((bs, obs, cams, 3))
-        .at[..., 1].set(18.0).at[..., 2].set(10.0),
-        focals=jnp.full((bs, obs, cams), 1180.0 * w / 1920.0),
-        bounding_boxes=jnp.broadcast_to(
-            jnp.asarray([[0.3, 0.4, 0.38, 0.55], [0.6, 0.5, 0.68, 0.66]]),
-            (bs, obs, cams, 2, 4),
-        ),
-        bounding_boxes_validity=jnp.ones((bs, obs, cams, 2), bool),
-        global_frame_indexes=frames,
-        video_frame_indexes=frames,
-        video_indexes=np.zeros((bs,), np.int32),
-    )
-    state = trainer.init_state(jax.random.PRNGKey(0), batch)
+    trainer, state, batch, (bs, obs, cams) = _phase2_setup()
 
     steps = int(os.environ.get("BENCH_SOAK_STEPS", 300))
     budget_ms = float(os.environ.get("BENCH_SOAK_BUDGET_MS", 80.0))
@@ -580,7 +535,6 @@ def bench_soak():
     # Step time via the two-length-difference protocol (fixed harness costs
     # cancel; see _chained_step_ms).
     mean_ms = _chained_step_ms(trainer.train_step, state, batch, 10)
-    p99_ms = mean_ms  # chained timing has no per-step spread to report
 
     ok = mean_ms <= budget_ms and np.isfinite(losses_np).all()
     print(
@@ -671,10 +625,7 @@ def main():
 
         fast_variables = {
             "params": {"composer": variables["params"]},
-            "batch_stats": {"batch_stats": {}},
-        }
-        fast_variables["batch_stats"] = {
-            "composer": variables.get("batch_stats", {})
+            "batch_stats": {"composer": variables.get("batch_stats", {})},
         }
 
         @jax.jit

@@ -223,9 +223,13 @@ int pe_decode_png(const char* path, int target_h, int target_w, float* out) {
 
 // Threaded batch decode: n paths into out[n, target_h, target_w, 3].
 // Returns 0 if every file decoded, else the first nonzero file status.
+// A fixed target size is REQUIRED here (unlike pe_decode_png): native-size
+// decodes would need per-image strides, and a zero stride would race every
+// worker onto the same buffer. Returns 4 on target_h/target_w <= 0.
 int pe_decode_png_batch(const char** paths, int n, int target_h, int target_w,
                         float* out, int threads) {
   if (n <= 0) return 0;
+  if (target_h <= 0 || target_w <= 0) return 4;
   if (threads <= 0) threads = 1;
   if (threads > n) threads = n;
   const size_t stride = static_cast<size_t>(target_h) * target_w * 3;

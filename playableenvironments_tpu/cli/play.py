@@ -227,8 +227,11 @@ def main():
 
     os.makedirs(args.output, exist_ok=True)
     save_frames(frames, os.path.join(args.output, "frames"))
-    save_video(frames, os.path.join(args.output, "sequence.mp4"),
-               args.framerate, actions=[None] + actions_taken)
+    try:
+        save_video(frames, os.path.join(args.output, "sequence.mp4"),
+                   args.framerate, actions=[None] + actions_taken)
+    except RuntimeError as error:  # missing codec: frames + gif still land
+        print(f"mp4 export skipped: {error}")
     save_gif(frames, os.path.join(args.output, "sequence.gif"), args.framerate)
     print(f"saved {len(frames)} frames to {args.output}")
 

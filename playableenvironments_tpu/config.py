@@ -304,10 +304,14 @@ def _strip_name_key(block: Dict[str, Any]) -> Tuple[str, Dict[str, Any]]:
     """Reference YAML lists use '- name:' mapping items whose first key is the
     object's name with value None; recover (name, fields)."""
     name = "unnamed"
+    named = False
     fields: Dict[str, Any] = {}
     for k, v in block.items():
-        if v is None and not fields:
+        # Only the FIRST null-valued key is the name; later explicit nulls
+        # (e.g. `num_steps: null`) are real field overrides, not names.
+        if v is None and not named and not fields:
             name = k
+            named = True
         else:
             fields[k] = v
     return name, fields

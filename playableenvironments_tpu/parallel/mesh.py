@@ -72,10 +72,15 @@ def maybe_initialize_distributed():
     runs must not wait on a coordination service."""
     import os
 
+    def _truthy(value):
+        # PE_MULTIHOST=0 must mean OFF: raw string truthiness would treat
+        # "0"/"false" as configured and block on a coordination service.
+        return bool(value) and value.strip().lower() not in ("0", "false", "no")
+
     configured = (
-        os.environ.get("PE_MULTIHOST")
-        or os.environ.get("COORDINATOR_ADDRESS")
-        or os.environ.get("JAX_COORDINATOR_ADDRESS")
+        _truthy(os.environ.get("PE_MULTIHOST"))
+        or _truthy(os.environ.get("COORDINATOR_ADDRESS"))
+        or _truthy(os.environ.get("JAX_COORDINATOR_ADDRESS"))
     )
     if not configured:
         return False
@@ -129,6 +134,12 @@ def constrain_ray_axis(
     if rays_axis_name not in mesh.axis_names:
         return x
     ray_axis = ray_axis % x.ndim
+    if ray_axis == 0:
+        raise ValueError(
+            "constrain_ray_axis: ray_axis resolves to axis 0, which is the "
+            "data (batch) axis — constraining it to the rays mesh axis "
+            "would silently shard the batch over rays"
+        )
     spec = [None] * x.ndim
     if data_axis_name in mesh.axis_names:
         spec[0] = data_axis_name

@@ -73,13 +73,25 @@ def draw_axes(
     )
     world = points @ np.asarray(o2w)[:3, :3].T + np.asarray(o2w)[:3, 3]
     cam = world @ np.asarray(w2c)[:3, :3].T + np.asarray(w2c)[:3, 3]
-    z = np.where(np.abs(cam[:, 2]) < 1e-8, -1e-8, cam[:, 2])
+    # Sign-preserving near-zero clamp: in front of the camera is z < 0
+    # (OpenGL); forcing small positive z negative would flip a
+    # behind-camera point to in-front.
+    z = np.where(
+        np.abs(cam[:, 2]) < 1e-8, np.where(cam[:, 2] > 0, 1e-8, -1e-8), cam[:, 2]
+    )
     proj = -cam[:, :2] / z[:, None] * focal
     proj[:, 1] *= -1
     proj += np.asarray([w / 2.0, h / 2.0])
     origin = tuple(int(v) for v in proj[0])
-    for end, color in zip(proj[1:], ((0, 0, 230), (0, 200, 0), (230, 0, 0))):
-        if cam[0, 2] < 0:  # origin in front of the camera
+    # RGB constants (frames flow RGB through the codebase; save_video
+    # converts to BGR only at encode time): x red, y green, z blue.
+    for idx, (end, color) in enumerate(
+        zip(proj[1:], ((230, 0, 0), (0, 200, 0), (0, 0, 230)))
+    ):
+        # Draw only when BOTH endpoints are in front of the camera: a
+        # behind-camera endpoint projects with flipped sign, drawing a
+        # spurious mirrored line through the image center.
+        if cam[0, 2] < 0 and cam[idx + 1, 2] < 0:
             cv2.line(img, origin, tuple(int(v) for v in end), color, 1)
     return img
 

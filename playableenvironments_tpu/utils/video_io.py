@@ -46,9 +46,18 @@ def save_video(
     import cv2
 
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    if not len(frames):
+        raise ValueError("save_video: no frames to encode")
     h, w = np.asarray(frames[0]).shape[:2]
     fourcc = cv2.VideoWriter_fourcc(*"mp4v")
     writer = cv2.VideoWriter(path, fourcc, framerate, (w, h))
+    if not writer.isOpened():
+        # cv2 returns an unopened writer (no exception) when the codec is
+        # missing (headless builds) — write() would then silently no-op and
+        # leave a 0-byte file reported as success.
+        raise RuntimeError(
+            f"cv2.VideoWriter could not open {path} (mp4v codec missing?)"
+        )
     try:
         for idx, frame in enumerate(frames):
             if actions is not None and idx < len(actions):

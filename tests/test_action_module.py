@@ -249,6 +249,32 @@ def test_phase3_train_step(phase3_setup):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
 
 
+def test_phase3_loss_decreases(phase3_setup):
+    """Overfit one cached encoding: the state-reconstruction loss must go
+    DOWN, not merely stay finite (finiteness missed e.g. the optax.masked
+    raw-gradient-passthrough bug)."""
+    trainer, state, batch, _ = phase3_setup
+    encoding = jax.jit(trainer.encode_batch)(
+        state.extra, batch, jax.random.PRNGKey(3)
+    )
+    # No donation: the fixture's state is module-scoped and donating its
+    # buffers would invalidate it for later tests on donation-capable
+    # backends (CPU ignores donation, but don't rely on that).
+    step = jax.jit(trainer.fused_step)
+    st = state
+    losses_seen = []
+    for i in range(40):
+        st, metrics = step(st, encoding, jax.random.PRNGKey(i))
+        losses_seen.append(
+            float(metrics["object_1_translations_reconstruction_loss"])
+            + float(metrics["object_1_rotations_reconstruction_loss"])
+        )
+    first = np.mean(losses_seen[:5])
+    last = np.mean(losses_seen[-5:])
+    assert np.isfinite(last)
+    assert last < first, (first, last)
+
+
 def test_phase3_annealing_schedules(phase3_setup):
     trainer, _, _, _ = phase3_setup
     cfg = trainer.cfg

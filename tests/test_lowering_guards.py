@@ -68,6 +68,11 @@ def test_phase1_step_has_no_slow_ops(rng):
     text = _stablehlo(trainer.train_step, state, images, jax.random.PRNGKey(1))
     assert _count(text, "select_and_scatter") == 0
     assert _count(text, "sort") == 0
+    # With compute_dtype=bfloat16 EVERY convolution (forward + transposes,
+    # AE and VGG) must be bf16 — one f32 conv silently halves the MXU rate.
+    convs = [l for l in text.splitlines() if "stablehlo.convolution" in l]
+    f32_convs = [l for l in convs if "bf16" not in l]
+    assert convs and not f32_convs, f32_convs[:3]
 
 
 def test_phase2_step_has_no_sorts():

@@ -74,6 +74,9 @@ def synthesis_training_config(cfg: Dict[str, Any]) -> SynthesisTrainingConfig:
         crop_to_patch=bool(t.get("crop_to_patch", True)),
         autoencoder_learning_rate=float(t.get("autoencoder_learning_rate", 1e-4)),
         frozen_autoencoder_steps=int(t.get("frozen_autoencoder_steps", 0)),
+        camera_parameters_learning_rate=float(
+            t.get("camera_parameters_learning_rate", 0.0)
+        ),
     )
 
 

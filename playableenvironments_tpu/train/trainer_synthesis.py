@@ -68,6 +68,10 @@ class SynthesisTrainingConfig:
     crop_to_patch: bool = True
     autoencoder_learning_rate: float = 1e-4
     frozen_autoencoder_steps: int = 0
+    # Per-frame camera offsets train under their OWN rate (the reference's
+    # separate camera-parameters Adam, trainer.py:34-39) — default 0.0 like
+    # configuration.py:98, i.e. frozen unless the config opts in.
+    camera_parameters_learning_rate: float = 0.0
 
 
 RNG_STREAMS = ("ray_sampling", "sampling", "alpha_noise", "style_shuffle", "divergence")
@@ -104,11 +108,16 @@ class SynthesisTrainer:
             {**split_rngs(key), "params": key},
             *example_batch.environment_model_args(),
         )
-        group_lrs, freeze = None, None
+        # Camera offsets always form their own lr group (reference's separate
+        # camera-parameters Adam; rate 0.0 by default = frozen).
+        group_lrs = {
+            "camera_offsets": self.cfg.camera_parameters_learning_rate
+        }
+        freeze = None
         if self.cfg.decode_patches:
             # The autoencoder gets its own (freezable) learning rate
             # (trainer_backpropagated_autoencoder.py:63-90, 118-121).
-            group_lrs = {"autoencoder": self.cfg.autoencoder_learning_rate}
+            group_lrs["autoencoder"] = self.cfg.autoencoder_learning_rate
             freeze = {"autoencoder": self.cfg.frozen_autoencoder_steps}
         tx = make_optimizer(
             self.cfg.learning_rate,

@@ -277,3 +277,41 @@ def test_multichip_data_plus_ray_parallel_step(setup):
         )
         assert np.isfinite(float(metrics["loss"]))
         assert int(new_state.step) == 1
+
+
+def test_camera_offsets_learning_rate_group(data_root):
+    """Camera offsets form their own lr group (the reference's separate
+    camera-parameters Adam, trainer.py:34-39): frozen at the default rate
+    0.0, trained when the config opts in."""
+    dataset = MulticameraVideoDataset(
+        os.path.join(data_root, "train"), observations_count=2
+    )
+    batch = next(dataset.iterate_batches(batch_size=2))
+
+    def run(camera_lr):
+        model = EnvironmentModel(
+            tiny_scene(), focal_length_multiplier=1.0,
+            enable_camera_offsets=True, camera_memory_size=16,
+        )
+        cfg = SynthesisTrainingConfig(
+            learning_rate=2e-3, samples_per_image=8,
+            camera_parameters_learning_rate=camera_lr,
+            loss_weights=LossWeights(reconstruction=1.0),
+        )
+        trainer = SynthesisTrainer(model, cfg)
+        state = trainer.init_state(jax.random.PRNGKey(0), batch)
+        new_state, _ = jax.jit(trainer.train_step)(
+            state, batch, jax.random.PRNGKey(1)
+        )
+        before = np.asarray(
+            jax.tree.leaves(state.params["camera_offsets"])[0]
+        )
+        after = np.asarray(
+            jax.tree.leaves(new_state.params["camera_offsets"])[0]
+        )
+        return before, after
+
+    before, after = run(0.0)
+    np.testing.assert_array_equal(before, after)
+    before, after = run(1e-3)
+    assert not np.allclose(before, after)

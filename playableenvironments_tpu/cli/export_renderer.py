@@ -1,0 +1,50 @@
+"""Export a trained renderer as a serving artifact (jax.export).
+
+The artifact carries the traced StableHLO of the full frame function
+(SceneEncoding -> frames) and serves without the model code — see
+`playableenvironments_tpu.serve`. No reference equivalent: the reference's
+only serving surface is running the full torch codebase through play.py.
+
+Usage: python -m playableenvironments_tpu.cli.export_renderer
+       --config <yaml> --checkpoint <phase2 ckpt> --output renderer.pexp
+       [--platforms tpu cpu]
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main():
+    parser = argparse.ArgumentParser(description="Export a serving renderer")
+    parser.add_argument("--config", required=True)
+    parser.add_argument("--checkpoint", required=True)
+    parser.add_argument("--output", required=True)
+    parser.add_argument(
+        "--platforms", nargs="+", default=["cpu"],
+        help="lowering platforms baked into the artifact (e.g. tpu cpu)",
+    )
+    args = parser.parse_args()
+
+    from playableenvironments_tpu import serve
+    from playableenvironments_tpu.cli.common import load_yaml
+    from playableenvironments_tpu.cli.generate_reconstructed_dataset import (
+        build_renderer,
+    )
+
+    cfg = load_yaml(args.config)
+    renderer, dataset, _ = build_renderer(cfg, args.checkpoint)
+    batch = next(dataset.iterate_batches(1, shuffle=False))
+    encoding = renderer.encode(batch)
+    path = serve.export_renderer(
+        renderer, encoding, args.output, platforms=tuple(args.platforms)
+    )
+    artifact = serve.load_artifact(path)
+    print(
+        f"exported {artifact.header['name']} for {artifact.header['platforms']}"
+        f" -> {path}"
+    )
+
+
+if __name__ == "__main__":
+    main()

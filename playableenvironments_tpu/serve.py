@@ -1,0 +1,139 @@
+"""Serving exports: serialized, versioned render/dynamics artifacts.
+
+`jax.export` serializes the traced StableHLO of a jitted function together
+with its input/output trees, so a deployment process can serve frames
+WITHOUT the model code — only jax and this loader module (for the
+SceneEncoding pytree) are needed, and the artifact is stable against
+refactors of the Python model classes. This is the framework's deployment
+story beyond the reference (which serves by running the full torch codebase;
+play.py is its only "serving" surface).
+
+Artifacts are single files: a 4-byte little-endian header-length prefix, a
+JSON header (format version, shapes, platforms), then the serialized
+exported function. Cross-platform: pass platforms=("tpu",) on a CPU machine
+to lower for TPU chips (compilation happens at load time on the target).
+
+Typical flow::
+
+    from playableenvironments_tpu import serve
+    serve.export_renderer(renderer, encoding_example, "renderer.pexp",
+                          platforms=("tpu",))
+    # ... on the serving host:
+    render = serve.load_artifact("renderer.pexp")
+    frames = render(encoding)          # (B, T, C, H, W, 3) in [0, 1]
+"""
+
+from __future__ import annotations
+
+import json
+import struct
+from typing import Callable, Sequence
+
+import jax
+from jax import export as jax_export
+
+FORMAT_VERSION = 1
+
+# Register the library's pytree containers for export serialization (their
+# treedefs ride inside the artifact). SceneEncoding is a flax.struct
+# dataclass whose auxdata is the empty tuple — nothing to serialize.
+from playableenvironments_tpu.scene.encoding import SceneEncoding  # noqa: E402
+
+try:
+    jax_export.register_pytree_node_serialization(
+        SceneEncoding,
+        serialized_name="playableenvironments_tpu.SceneEncoding",
+        serialize_auxdata=lambda aux: b"",
+        deserialize_auxdata=lambda data: (),
+    )
+except ValueError:
+    pass  # already registered (repeated import paths in tests)
+
+
+def _wrap(serialized: bytes, header: dict) -> bytes:
+    head = json.dumps({"format_version": FORMAT_VERSION, **header}).encode()
+    return struct.pack("<I", len(head)) + head + serialized
+
+
+def _unwrap(blob: bytes):
+    (head_len,) = struct.unpack("<I", blob[:4])
+    header = json.loads(blob[4 : 4 + head_len].decode())
+    if header.get("format_version") != FORMAT_VERSION:
+        raise ValueError(
+            f"unsupported artifact format {header.get('format_version')} "
+            f"(this loader supports {FORMAT_VERSION})"
+        )
+    return header, blob[4 + head_len :]
+
+
+def export_function(
+    fn: Callable,
+    example_args: Sequence,
+    path: str,
+    platforms: Sequence[str] = ("cpu",),
+    name: str = "fn",
+) -> str:
+    """Serialize `jax.jit(fn)(*example_args)`'s program to `path`.
+
+    The exported program is shape-specialized to the example arguments
+    (static shapes are the TPU deployment model anyway).
+    """
+    exported = jax_export.export(jax.jit(fn), platforms=tuple(platforms))(
+        *example_args
+    )
+    blob = _wrap(
+        exported.serialize(),
+        {
+            "name": name,
+            "platforms": list(platforms),
+            "in_avals": [str(a) for a in exported.in_avals],
+            "out_avals": [str(a) for a in exported.out_avals],
+        },
+    )
+    with open(path, "wb") as f:
+        f.write(blob)
+    return path
+
+
+def load_artifact(path: str) -> Callable:
+    """Deserialize an artifact into a callable (compiles on first call for
+    the local backend; raises if the backend is not among the artifact's
+    platforms)."""
+    with open(path, "rb") as f:
+        header, serialized = _unwrap(f.read())
+    exported = jax_export.deserialize(serialized)
+
+    class _Artifact:
+        """Callable wrapper carrying the header metadata."""
+
+        def __init__(self):
+            self.header = header
+            self.exported = exported
+
+        def __call__(self, *args):
+            return exported.call(*args)
+
+    return _Artifact()
+
+
+def export_renderer(
+    renderer,
+    encoding_example,
+    path: str,
+    platforms: Sequence[str] = ("cpu",),
+) -> str:
+    """Export a FrameRenderer's frame function: SceneEncoding -> frames.
+
+    :param renderer: `eval.creators.FrameRenderer` (fast or slow path).
+    :param encoding_example: a SceneEncoding with the serving shapes
+        (e.g. `renderer.encode(batch)` on one example batch).
+    """
+    image_size = renderer.image_size
+    render = (
+        renderer._render_fast_impl if renderer.use_fast else renderer._render_impl
+    )
+
+    return export_function(
+        render, (encoding_example,), path, platforms,
+        name=f"render_{image_size[0]}x{image_size[1]}",
+    )

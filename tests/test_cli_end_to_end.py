@@ -238,3 +238,31 @@ def test_phase1_autoencoder_training_cli(workdir):
         else []
     )
     assert images, f"no evaluator grid written under {results_dir}"
+
+
+def test_export_renderer_cli(workdir, phase2_checkpoint):
+    """Export the trained renderer as a serving artifact and serve a frame
+    from the deserialized program."""
+    out = os.path.join(workdir["root"], "renderer.pexp")
+    run_cli(
+        "playableenvironments_tpu.cli.export_renderer",
+        "--config", workdir["config"],
+        "--checkpoint", phase2_checkpoint,
+        "--output", out,
+    )
+    from playableenvironments_tpu import serve
+    from playableenvironments_tpu.cli.common import build_dataset, load_yaml
+    from playableenvironments_tpu.cli.generate_reconstructed_dataset import (
+        build_renderer,
+    )
+
+    cfg = load_yaml(workdir["config"])
+    renderer, dataset, _ = build_renderer(cfg, phase2_checkpoint)
+    batch = next(dataset.iterate_batches(1, shuffle=False))
+    encoding = renderer.encode(batch)
+    artifact = serve.load_artifact(out)
+    frames = np.asarray(artifact(encoding))
+    assert np.isfinite(frames).all() and frames.shape[-3:] == (16, 24, 3)
+    np.testing.assert_allclose(
+        frames, np.asarray(renderer.render(encoding)), atol=1e-5
+    )

@@ -61,6 +61,7 @@ def main():
             t.get("loss_weights", {}).get("perceptual_loss_lambda", 0.0)
         ),
         vgg_weights_path=str(t.get("vgg_weights_path", "")),
+        remat=bool(t.get("remat", False)),
     )
     trainer = AutoencoderTrainer(scene.autoencoder, train_cfg)
 

@@ -34,6 +34,11 @@ class AutoencoderTrainingConfig:
     # Optional torch VGG19 checkpoint for the perceptual term (zero-egress:
     # default weights are randomly initialized but fixed — self-consistent).
     vgg_weights_path: str = ""
+    # Rematerialize the forward (jax.checkpoint) instead of keeping every
+    # conv activation alive for the backward: trades ~1/3 more FLOPs for a
+    # large cut in peak HBM — phase-1 at 512x288 is HBM-bound, so this buys
+    # batch-size headroom beyond the published bs 20.
+    remat: bool = False
 
 
 class AutoencoderTrainer:
@@ -73,13 +78,19 @@ class AutoencoderTrainer:
 
     def compute_losses(self, params, batch_stats, images, key):
         """VAE objective (autoencoder_trainer.py:57-68): pixel MSE + spatial KL."""
-        out, mutated = self.model.apply(
-            {"params": params, "batch_stats": batch_stats},
-            images,
-            sample_key=key,
-            train=True,
-            mutable=["batch_stats"],
-        )
+
+        def forward(params, batch_stats, images, key):
+            return self.model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                images,
+                sample_key=key,
+                train=True,
+                mutable=["batch_stats"],
+            )
+
+        if self.cfg.remat:
+            forward = jax.checkpoint(forward)
+        out, mutated = forward(params, batch_stats, images, key)
         rec = losses.image_reconstruction_loss(
             images, out["reconstructed_observations"]
         )
@@ -93,10 +104,16 @@ class AutoencoderTrainer:
         if self.vgg_variables is not None:
             from playableenvironments_tpu.eval.perceptual import perceptual_loss
 
-            perceptual, _ = perceptual_loss(
-                self.vgg_variables, images, out["reconstructed_observations"],
-                compute_dtype=self.ae_cfg.compute_dtype,
-            )
+            def perceptual_fn(reconstructed):
+                value, _ = perceptual_loss(
+                    self.vgg_variables, images, reconstructed,
+                    compute_dtype=self.ae_cfg.compute_dtype,
+                )
+                return value
+
+            if self.cfg.remat:
+                perceptual_fn = jax.checkpoint(perceptual_fn)
+            perceptual = perceptual_fn(out["reconstructed_observations"])
             total = total + self.cfg.perceptual_lambda * perceptual
             metrics["perceptual_loss"] = perceptual
             metrics["loss"] = total

@@ -360,3 +360,34 @@ def test_autoencoder_trainer_multidevice(key):
     new_state, metrics = step(rep_state, sharded, jax.random.PRNGKey(1))
     assert np.isfinite(float(metrics["loss"]))
     assert len(sharded.sharding.device_set) == 2
+
+
+def test_remat_matches_plain_gradients(rng):
+    """training.remat trades FLOPs for memory; it must not change a single
+    gradient bit-for-semantics (same forward, same cotangents)."""
+    from playableenvironments_tpu.train.trainer_autoencoder import (
+        AutoencoderTrainer,
+        AutoencoderTrainingConfig,
+    )
+
+    images = jnp.asarray(rng.random((2, 16, 16, 3)).astype(np.float32))
+
+    def grads_with(remat):
+        trainer = AutoencoderTrainer(
+            AE_CFG,
+            AutoencoderTrainingConfig(kl_lambda=1e-6, remat=remat),
+        )
+        state = trainer.init_state(jax.random.PRNGKey(0), images)
+
+        def loss(params):
+            total, _ = trainer.compute_losses(
+                params, state.batch_stats, images, jax.random.PRNGKey(1)
+            )
+            return total
+
+        return jax.grad(loss)(state.params)
+
+    plain = grads_with(False)
+    remat = grads_with(True)
+    for a, b in zip(jax.tree.leaves(plain), jax.tree.leaves(remat)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)

@@ -21,10 +21,18 @@ def main():
     parser.add_argument("--checkpoint", required=True)
     parser.add_argument("--output", required=True)
     parser.add_argument(
+        "--playable_checkpoint", default=None,
+        help="also export the interactive bundle (step0/step artifacts) "
+        "from this phase-3 checkpoint; --output becomes the path prefix",
+    )
+    parser.add_argument(
         "--platforms", nargs="+", default=["cpu"],
         help="lowering platforms baked into the artifact (e.g. tpu cpu)",
     )
+    parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args()
+
+    import jax
 
     from playableenvironments_tpu import serve
     from playableenvironments_tpu.cli.common import load_yaml
@@ -33,9 +41,41 @@ def main():
     )
 
     cfg = load_yaml(args.config)
-    renderer, dataset, _ = build_renderer(cfg, args.checkpoint)
+    renderer, dataset, env_model = build_renderer(cfg, args.checkpoint)
     batch = next(dataset.iterate_batches(1, shuffle=False))
     encoding = renderer.encode(batch)
+
+    if args.playable_checkpoint:
+        from playableenvironments_tpu.render.playable_model import (
+            PlayableEnvironmentModel,
+        )
+        from playableenvironments_tpu.train import checkpointing
+        from playableenvironments_tpu.train.trainer_playable import (
+            PlayableTrainer,
+            PlayableTrainingConfig,
+        )
+
+        playable = PlayableEnvironmentModel(env_model.scene)
+        p_trainer = PlayableTrainer(env_model, playable, PlayableTrainingConfig())
+        p_state = p_trainer.init_state(
+            jax.random.PRNGKey(args.seed), batch,
+            renderer.variables["params"], renderer.variables["batch_stats"],
+        )
+        p_state = checkpointing.restore_checkpoint(
+            args.playable_checkpoint, p_state
+        )
+        paths = serve.export_interactive(
+            playable,
+            {"params": p_state.params, "batch_stats": p_state.batch_stats},
+            renderer,
+            jax.tree.map(lambda x: x[:, :1], encoding),
+            args.output,
+            platforms=tuple(args.platforms),
+        )
+        for kind, path in paths.items():
+            print(f"exported {kind} -> {path}")
+        return
+
     path = serve.export_renderer(
         renderer, encoding, args.output, platforms=tuple(args.platforms)
     )

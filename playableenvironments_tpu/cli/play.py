@@ -71,57 +71,20 @@ class InteractiveSession:
 
         :param actions: one action index per dynamic object.
         """
-        import jax
-        import jax.numpy as jnp
-
-        from playableenvironments_tpu.render.playable_model import (
-            PlayableEnvironmentModel,
+        from playableenvironments_tpu.render.interactive import (
+            action_inputs,
+            interactive_step,
         )
 
-        enc = self.encoding
-        static = self.object_ids.static_objects_count
-        new_rot, new_trans = enc.object_rotations, enc.object_translations
-        new_style, new_deform = enc.object_style, enc.object_deformation
-
-        for dynamic_idx, action in enumerate(actions):
-            object_idx = static + dynamic_idx
-            anim_cfg = self.playable_model.scene.animation_models[
-                self.object_ids.animation_model_idx_by_dynamic_object_idx(dynamic_idx)
-            ]
-            # Clamp out-of-range keys: one_hot of an out-of-range index is
-            # the all-zero vector, which would silently drive the dynamics
-            # with an undefined non-action.
-            action = max(0, min(int(action), anim_cfg.actions_count - 1))
-            one_hot = jax.nn.one_hot(
-                jnp.asarray([action]), anim_cfg.actions_count
-            )
-            variation = jnp.zeros((1, anim_cfg.action_space_dimension))
-            (carry, (rot, trans, style, deform)), _ = self.playable_model.apply(
-                self.playable_variables,
-                dynamic_idx,
-                self.carries[dynamic_idx],
-                enc.object_rotations[:, 0, object_idx],
-                enc.object_translations[:, 0, object_idx],
-                enc.object_style[:, 0, object_idx],
-                enc.object_deformation[:, 0, object_idx],
-                one_hot,
-                variation,
-                method=PlayableEnvironmentModel.dynamics_step,
-                mutable=["batch_stats"],
-            )
-            self.carries[dynamic_idx] = carry
-            new_rot = new_rot.at[:, 0, object_idx].set(rot)
-            new_trans = new_trans.at[:, 0, object_idx].set(trans)
-            new_style = new_style.at[:, 0, object_idx].set(style)
-            new_deform = new_deform.at[:, 0, object_idx].set(deform)
-
-        self.encoding = enc.replace(
-            object_rotations=new_rot,
-            object_translations=new_trans,
-            # use_initial_style option (playable_environment_model.py:295-396):
-            # keep the frame-0 style to avoid drift.
-            object_style=self.initial_style,
-            object_deformation=new_deform,
+        one_hots, variations = action_inputs(self.playable_model, actions)
+        self.encoding, self.carries = interactive_step(
+            self.playable_model,
+            self.playable_variables,
+            self.encoding,
+            self.initial_style,
+            self.carries,
+            one_hots,
+            variations,
         )
         return np.asarray(self.renderer.render(self.encoding))[0, 0, 0]
 

@@ -137,3 +137,81 @@ def export_renderer(
         render, (encoding_example,), path, platforms,
         name=f"render_{image_size[0]}x{image_size[1]}",
     )
+
+
+def export_interactive(
+    playable_model,
+    playable_variables,
+    renderer,
+    encoding_example,
+    path_prefix: str,
+    platforms: Sequence[str] = ("cpu",),
+) -> dict:
+    """Export the FULL interactive loop as three artifacts, so a serving
+    host can run playable generation with zero model code:
+
+    - `<prefix>.render.pexp`: SceneEncoding -> frames.
+    - `<prefix>.step0.pexp`: (encoding, initial_style, one_hots, variations)
+      -> (new_encoding, carries) — the first step after reset (LSTM carries
+      initialized from the learnable initial state).
+    - `<prefix>.step.pexp`: (encoding, initial_style, carries, one_hots,
+      variations) -> (new_encoding, carries) — subsequent steps.
+
+    The serving loop is: reset = slice frame 0, render; then alternate
+    step/render feeding carries back in (`action_inputs` shapes the one-hot
+    action tensors; the zero-variation convention matches play.py).
+
+    :param encoding_example: a (B, 1, ...) SceneEncoding at serving shapes.
+    :return: {"render": path, "step0": path, "step": path}.
+    """
+    from playableenvironments_tpu.config import ObjectIds
+    from playableenvironments_tpu.render.interactive import (
+        action_inputs,
+        interactive_step,
+    )
+
+    dynamic = ObjectIds(playable_model.scene).dynamic_objects_count
+    one_hots, variations = action_inputs(playable_model, [0] * dynamic)
+    initial_style = encoding_example.object_style
+
+    def step0(encoding, initial_style, one_hots, variations):
+        new_encoding, carries = interactive_step(
+            playable_model, playable_variables, encoding, initial_style,
+            [None] * dynamic, one_hots, variations,
+        )
+        return new_encoding, tuple(carries)
+
+    def step(encoding, initial_style, carries, one_hots, variations):
+        new_encoding, new_carries = interactive_step(
+            playable_model, playable_variables, encoding, initial_style,
+            list(carries), one_hots, variations,
+        )
+        return new_encoding, tuple(new_carries)
+
+    carries_example = jax.eval_shape(
+        step0, encoding_example, initial_style, one_hots, variations
+    )[1]
+    carries_example = jax.tree.map(
+        lambda s: jax.numpy.zeros(s.shape, s.dtype), carries_example
+    )
+
+    paths = {
+        "render": export_renderer(
+            renderer, encoding_example, f"{path_prefix}.render.pexp", platforms
+        ),
+        "step0": export_function(
+            step0,
+            (encoding_example, initial_style, one_hots, variations),
+            f"{path_prefix}.step0.pexp",
+            platforms,
+            name="interactive_step0",
+        ),
+        "step": export_function(
+            step,
+            (encoding_example, initial_style, carries_example, one_hots, variations),
+            f"{path_prefix}.step.pexp",
+            platforms,
+            name="interactive_step",
+        ),
+    }
+    return paths

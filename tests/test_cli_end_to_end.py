@@ -266,3 +266,21 @@ def test_export_renderer_cli(workdir, phase2_checkpoint):
     np.testing.assert_allclose(
         frames, np.asarray(renderer.render(encoding)), atol=1e-5
     )
+
+
+def test_export_interactive_cli(workdir, phase2_checkpoint, phase3_checkpoint):
+    """The interactive bundle (render + step0 + step) exports from trained
+    checkpoints through the CLI."""
+    prefix = os.path.join(workdir["root"], "world")
+    run_cli(
+        "playableenvironments_tpu.cli.export_renderer",
+        "--config", workdir["config"],
+        "--checkpoint", phase2_checkpoint,
+        "--playable_checkpoint", phase3_checkpoint,
+        "--output", prefix,
+    )
+    from playableenvironments_tpu import serve
+
+    for kind in ("render", "step0", "step"):
+        artifact = serve.load_artifact(f"{prefix}.{kind}.pexp")
+        assert artifact.header["platforms"] == ["cpu"]

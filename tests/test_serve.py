@@ -82,3 +82,91 @@ def test_export_generic_function(tmp_path):
     np.testing.assert_allclose(
         np.asarray(call(x, y)), np.asarray(f(x, y)), atol=1e-6
     )
+
+
+def test_export_interactive_loop(tmp_path):
+    """The three interactive artifacts replay the live play-session loop
+    exactly: reset -> step0 -> step -> render at every stage."""
+    import dataclasses
+
+    from test_environment_model import RNGS, tiny_scene
+    from test_action_module import ANIM_CFG
+
+    from playableenvironments_tpu.data.dataset import MulticameraVideoDataset
+    from playableenvironments_tpu.data.synthetic import make_synthetic_dataset
+    from playableenvironments_tpu.eval.creators import FrameRenderer
+    from playableenvironments_tpu.render.environment_model import EnvironmentModel
+    from playableenvironments_tpu.render.interactive import (
+        action_inputs,
+        interactive_step,
+    )
+    from playableenvironments_tpu.render.playable_model import (
+        PlayableEnvironmentModel,
+    )
+
+    scene = dataclasses.replace(tiny_scene(), animation_models=(ANIM_CFG,))
+    root = make_synthetic_dataset(
+        str(tmp_path / "data"), videos=1, frames=4, height=16, width=24
+    )
+    dataset = MulticameraVideoDataset(
+        os.path.join(root, "test"), observations_count=1
+    )
+    batch = next(dataset.iterate_batches(batch_size=1))
+    env_model = EnvironmentModel(scene)
+    env_vars = env_model.init(
+        RNGS, *batch.environment_model_args(), samples_per_image=8
+    )
+    playable = PlayableEnvironmentModel(scene)
+    renderer = FrameRenderer(env_model, env_vars, image_size=(16, 24))
+    encoding = jax.tree.map(lambda x: x[:, :1], renderer.encode(batch))
+
+    import jax.numpy as jnp
+
+    playable_vars = None
+    # The dynamics params live inside the env-model playable wrapper; init
+    # a fresh playable model over the same scene for the dynamics weights.
+    one_hots, variations = action_inputs(playable, [0])
+    playable_vars = playable.init(
+        {"params": jax.random.PRNGKey(0)},
+        0, None,
+        encoding.object_rotations[:, 0, -1],
+        encoding.object_translations[:, 0, -1],
+        encoding.object_style[:, 0, -1],
+        encoding.object_deformation[:, 0, -1],
+        one_hots[0], variations[0],
+        method=PlayableEnvironmentModel.dynamics_step,
+    )
+
+    from playableenvironments_tpu import serve
+
+    paths = serve.export_interactive(
+        playable, playable_vars, renderer, encoding,
+        str(tmp_path / "world"),
+    )
+    render = serve.load_artifact(paths["render"])
+    step0 = serve.load_artifact(paths["step0"])
+    step = serve.load_artifact(paths["step"])
+
+    initial_style = encoding.object_style
+    # Served rollout.
+    enc_s, carries_s = step0(encoding, initial_style, one_hots, variations)
+    enc_s, carries_s = step(enc_s, initial_style, carries_s, one_hots, variations)
+    frame_s = np.asarray(render(enc_s))
+
+    # Live rollout.
+    enc_l, carries_l = interactive_step(
+        playable, playable_vars, encoding, initial_style, [None], one_hots,
+        variations,
+    )
+    enc_l, carries_l = interactive_step(
+        playable, playable_vars, enc_l, initial_style, carries_l, one_hots,
+        variations,
+    )
+    frame_l = np.asarray(renderer.render(enc_l))
+
+    np.testing.assert_allclose(frame_s, frame_l, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(enc_s.object_translations),
+        np.asarray(enc_l.object_translations),
+        atol=1e-6,
+    )

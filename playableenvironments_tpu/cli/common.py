@@ -77,6 +77,7 @@ def synthesis_training_config(cfg: Dict[str, Any]) -> SynthesisTrainingConfig:
         camera_parameters_learning_rate=float(
             t.get("camera_parameters_learning_rate", 0.0)
         ),
+        remat=bool(t.get("remat", False)),
     )
 
 

@@ -72,6 +72,10 @@ class SynthesisTrainingConfig:
     # separate camera-parameters Adam, trainer.py:34-39) — default 0.0 like
     # configuration.py:98, i.e. frozen unless the config opts in.
     camera_parameters_learning_rate: float = 0.0
+    # Rematerialize the forward (jax.checkpoint): recompute activations in
+    # the backward instead of keeping them alive — headroom for more rays
+    # per image / larger batches on one chip.
+    remat: bool = False
 
 
 RNG_STREAMS = ("ray_sampling", "sampling", "alpha_noise", "style_shuffle", "divergence")
@@ -146,21 +150,28 @@ class SynthesisTrainer:
         w = self.cfg.loss_weights
         compute_divergence = w.divergence > 0.0
 
-        results, mutated = self.model.apply(
-            {"params": params, "batch_stats": batch_stats},
-            *batch.environment_model_args(),
-            samples_per_image=self.cfg.samples_per_image,
-            perturb=self.cfg.perturb,
-            patch_size=self.cfg.patch_size,
-            patch_strides=self.cfg.patch_strides or None,
-            shuffle_style=self.cfg.shuffle_style,
-            step=step,
-            train=True,
-            compute_divergence=compute_divergence,
-            decode_patches=self.cfg.decode_patches,
-            rngs=split_rngs(key),
-            mutable=["batch_stats"],
-        )
+        def forward(params, batch_stats, batch, key, step):
+            return self.model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                *batch.environment_model_args(),
+                samples_per_image=self.cfg.samples_per_image,
+                perturb=self.cfg.perturb,
+                patch_size=self.cfg.patch_size,
+                patch_strides=self.cfg.patch_strides or None,
+                shuffle_style=self.cfg.shuffle_style,
+                step=step,
+                train=True,
+                compute_divergence=compute_divergence,
+                decode_patches=self.cfg.decode_patches,
+                rngs=split_rngs(key),
+                mutable=["batch_stats"],
+            )
+
+        if self.cfg.remat:
+            # Trade recompute for activation memory (training.remat; the
+            # fused NeRF kernel keeps its hand-derived VJP under remat).
+            forward = jax.checkpoint(forward)
+        results, mutated = forward(params, batch_stats, batch, key, step)
 
         static_objects = self.object_ids.static_objects_count
         object_in_scene = jnp.any(batch.bounding_boxes_validity, axis=2)

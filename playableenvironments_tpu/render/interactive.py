@@ -61,10 +61,17 @@ def interactive_step(
 
     object_ids = ObjectIds(playable_model.scene)
     static = object_ids.static_objects_count
+    if len(one_hots) != object_ids.dynamic_objects_count:
+        raise ValueError(
+            f"interactive_step needs one action per dynamic object "
+            f"({object_ids.dynamic_objects_count}), got {len(one_hots)} — "
+            "a partial list would silently skip (and drop the carries of) "
+            "the remaining objects"
+        )
     new_rot, new_trans = encoding.object_rotations, encoding.object_translations
     new_style, new_deform = encoding.object_style, encoding.object_deformation
 
-    new_carries: List = []
+    new_carries: List = list(carries)
     for dynamic_idx, (one_hot, variation) in enumerate(zip(one_hots, variations)):
         object_idx = static + dynamic_idx
         (carry, (rot, trans, style, deform)), _ = playable_model.apply(
@@ -80,7 +87,7 @@ def interactive_step(
             method=PlayableEnvironmentModel.dynamics_step,
             mutable=["batch_stats"],
         )
-        new_carries.append(carry)
+        new_carries[dynamic_idx] = carry
         new_rot = new_rot.at[:, 0, object_idx].set(rot)
         new_trans = new_trans.at[:, 0, object_idx].set(trans)
         new_style = new_style.at[:, 0, object_idx].set(style)

@@ -46,8 +46,12 @@ try:
         serialize_auxdata=lambda aux: b"",
         deserialize_auxdata=lambda data: (),
     )
-except ValueError:
-    pass  # already registered (repeated import paths in tests)
+except ValueError as _error:
+    # Re-imports of THIS class are fine; anything else (e.g. a different
+    # class under the same name) must not be silently discarded — it would
+    # surface later as an opaque treedef mismatch at artifact load.
+    if "Duplicate serialization registration" not in str(_error):
+        raise
 
 
 def _wrap(serialized: bytes, header: dict) -> bytes:
@@ -129,9 +133,38 @@ def export_renderer(
         (e.g. `renderer.encode(batch)` on one example batch).
     """
     image_size = renderer.image_size
-    render = (
-        renderer._render_fast_impl if renderer.use_fast else renderer._render_impl
-    )
+    if renderer.use_fast:
+        # The fused Pallas kernel's lowering is chosen per the artifact's
+        # TARGET platform, never the export host's backend: interpret mode
+        # (pure-XLA emulation) on CPU, the real Mosaic kernel on TPU. Since
+        # that is a trace-time branch, fast-path artifacts are
+        # single-platform — export once per target.
+        if len(platforms) != 1:
+            raise ValueError(
+                "fast-path renderer artifacts are single-platform (the "
+                "Pallas kernel's lowering differs per platform); export "
+                "once per target, or build the FrameRenderer with "
+                "use_fast=False for a multi-platform pure-XLA artifact"
+            )
+        from playableenvironments_tpu.render import fast
+
+        interpret = platforms[0] == "cpu"
+        model = renderer.model
+        variables = renderer.variables
+        patch_strides = renderer.patch_strides
+
+        def render(encoding):
+            return fast.render_frame_fast(
+                model.scene,
+                variables,
+                encoding,
+                image_size,
+                patch_strides=patch_strides,
+                focal_length_multiplier=model.focal_length_multiplier,
+                interpret=interpret,
+            )
+    else:
+        render = renderer._render_impl
 
     return export_function(
         render, (encoding_example,), path, platforms,

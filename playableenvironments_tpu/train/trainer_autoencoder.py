@@ -89,7 +89,12 @@ class AutoencoderTrainer:
             )
 
         if self.cfg.remat:
-            forward = jax.checkpoint(forward)
+            # Save only conv/matmul outputs; recompute elementwise chains
+            # (a monolithic no-policy checkpoint would re-materialize every
+            # residual at once in the backward — no peak-memory win).
+            forward = jax.checkpoint(
+                forward, policy=jax.checkpoint_policies.dots_saveable
+            )
         out, mutated = forward(params, batch_stats, images, key)
         rec = losses.image_reconstruction_loss(
             images, out["reconstructed_observations"]

@@ -112,11 +112,14 @@ class SynthesisTrainer:
             {**split_rngs(key), "params": key},
             *example_batch.environment_model_args(),
         )
-        # Camera offsets always form their own lr group (reference's separate
-        # camera-parameters Adam; rate 0.0 by default = frozen).
-        group_lrs = {
-            "camera_offsets": self.cfg.camera_parameters_learning_rate
-        }
+        # Camera offsets form their own lr group (reference's separate
+        # camera-parameters Adam; rate 0.0 by default = frozen) — but ONLY
+        # when the model has them: an unconditional extra group would change
+        # the opt_state pytree structure and break restoring checkpoints
+        # saved without it.
+        group_lrs = {}
+        if self.model.enable_camera_offsets:
+            group_lrs["camera_offsets"] = self.cfg.camera_parameters_learning_rate
         freeze = None
         if self.cfg.decode_patches:
             # The autoencoder gets its own (freezable) learning rate
@@ -168,9 +171,15 @@ class SynthesisTrainer:
             )
 
         if self.cfg.remat:
-            # Trade recompute for activation memory (training.remat; the
-            # fused NeRF kernel keeps its hand-derived VJP under remat).
-            forward = jax.checkpoint(forward)
+            # Policy-based remat (training.remat): save ONLY matmul outputs
+            # inside the forward; elementwise chains (positional encodings,
+            # activations, pads, masks) recompute in the backward. A
+            # monolithic no-policy checkpoint would NOT cut peak memory —
+            # the backward re-materializes every residual at once. The
+            # fused NeRF kernel keeps its hand-derived VJP under remat.
+            forward = jax.checkpoint(
+                forward, policy=jax.checkpoint_policies.dots_saveable
+            )
         results, mutated = forward(params, batch_stats, batch, key, step)
 
         static_objects = self.object_ids.static_objects_count

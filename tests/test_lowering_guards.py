@@ -156,3 +156,52 @@ def test_interactive_render_has_no_sorts():
     )
     assert _count(text, "sort") == 0
     assert _count(text, "select_and_scatter") == 0
+
+
+def test_phase3_step_has_no_slow_ops():
+    """The fused G+D step (encoding cache + Pallas rollout) must stay free
+    of sorts and select_and_scatter beyond tiny RNG permutations."""
+    import sys, os
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import dataclasses
+
+    from test_environment_model import tiny_scene
+    from test_action_module import ANIM_CFG
+    from playableenvironments_tpu.data.dataset import MulticameraVideoDataset
+    from playableenvironments_tpu.data.synthetic import make_synthetic_dataset
+    from playableenvironments_tpu.render.environment_model import EnvironmentModel
+    from playableenvironments_tpu.render.playable_model import (
+        PlayableEnvironmentModel,
+    )
+    from playableenvironments_tpu.train.trainer_playable import (
+        PlayableTrainer,
+        PlayableTrainingConfig,
+    )
+    import tempfile
+
+    scene = dataclasses.replace(tiny_scene(), animation_models=(ANIM_CFG,))
+    with tempfile.TemporaryDirectory() as tmp:
+        root = make_synthetic_dataset(tmp, videos=1, frames=8, height=16, width=24)
+        dataset = MulticameraVideoDataset(
+            os.path.join(root, "train"), observations_count=4
+        )
+        batch = next(dataset.iterate_batches(batch_size=2))
+    env_model = EnvironmentModel(scene)
+    playable = PlayableEnvironmentModel(scene)
+    trainer = PlayableTrainer(env_model, playable, PlayableTrainingConfig())
+    import jax.random as jr
+
+    env_vars = env_model.init(
+        {"params": jr.PRNGKey(0), "sampling": jr.PRNGKey(1),
+         "ray_sampling": jr.PRNGKey(2), "gumbel": jr.PRNGKey(3),
+         "style_shuffle": jr.PRNGKey(4)},
+        *batch.environment_model_args(), samples_per_image=8,
+    )
+    state = trainer.init_state(
+        jr.PRNGKey(0), batch, env_vars["params"], env_vars.get("batch_stats", {})
+    )
+    encoding = jax.jit(trainer.encode_batch)(state.extra, batch, jr.PRNGKey(5))
+    text = _stablehlo(trainer.fused_step, state, encoding, jr.PRNGKey(6))
+    assert _largest_sort_elems(text) <= 8
+    assert _count(text, "select_and_scatter") == 0

@@ -223,6 +223,18 @@ def run_synthesis_training(
         state = checkpointing.restore_checkpoint(resume_from, state)
         state = replicate(state, mesh)
         logger.print(f"resumed from {resume_from} at step {int(state.step)}")
+    else:
+        # Warm-start the feature renderer from the phase-1 checkpoint
+        # (reference `model.autoencoder.weights_filename`, loaded in
+        # environment_model_backpropagated_autoencoder.py:27-40; the
+        # published phase-2 runs start from a 300k-step pretrained AE).
+        ae_ckpt = cfg.get("model", {}).get("autoencoder", {}).get(
+            "weights_filename", ""
+        )
+        if ae_ckpt and ae_ckpt != "untrained_model":
+            state = checkpointing.graft_autoencoder(ae_ckpt, state)
+            state = replicate(state, mesh)
+            logger.print(f"autoencoder warm-started from {ae_ckpt}")
 
     step_fn = jax.jit(trainer.train_step, donate_argnums=0)
     log_interval = int(cfg["training"].get("log_interval_steps", 10))

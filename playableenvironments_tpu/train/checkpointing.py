@@ -103,3 +103,27 @@ def restore_params(path: str, params_template: Any, batch_stats_template: Any):
         lambda t, r: r, batch_stats_template, full["batch_stats"]
     )
     return params, batch_stats
+
+
+def graft_autoencoder(path: str, state: TrainState) -> TrainState:
+    """Warm-start the phase-2 model's autoencoder from a PHASE-1 checkpoint
+    (the reference's `model.autoencoder.weights_filename`,
+    environment_model_backpropagated_autoencoder.py:27-40): the phase-1
+    MultiresAutoencoder params/batch_stats {encoder, decoder} drop into the
+    env model's `autoencoder` submodule unchanged."""
+    full = _checkpointer().restore(path)
+    if "autoencoder" not in state.params:
+        raise ValueError(
+            "graft_autoencoder: the phase-2 model has no autoencoder "
+            "submodule (model.autoencoder missing from the config?)"
+        )
+    params = dict(state.params)
+    params["autoencoder"] = jax.tree.map(
+        lambda t, r: r, state.params["autoencoder"], full["params"]
+    )
+    batch_stats = dict(state.batch_stats)
+    if "autoencoder" in batch_stats and full.get("batch_stats"):
+        batch_stats["autoencoder"] = jax.tree.map(
+            lambda t, r: r, batch_stats["autoencoder"], full["batch_stats"]
+        )
+    return state.replace(params=params, batch_stats=batch_stats)

@@ -93,6 +93,16 @@ class SynthesisTrainer:
         self.model = model
         self.cfg = cfg
         self.object_ids = ObjectIds(model.scene)
+        if cfg.decode_patches and cfg.patch_size and not cfg.crop_to_patch:
+            # The decoded output is a patch; comparing it against the FULL
+            # image is a shape mismatch deep inside the loss. (The reference
+            # only disables the crop on whole-image-grid variants.)
+            raise ValueError(
+                "decode_patches with patch_size > 0 requires "
+                "crop_to_patch=True (the decoded patch must be compared "
+                "against the matching GT crop); set training.crop_to_patch "
+                "or drop patch rendering"
+            )
 
     # ------------------------------------------------------------------
 

@@ -391,3 +391,54 @@ def test_remat_matches_plain_gradients(rng):
     remat = grads_with(True)
     for a, b in zip(jax.tree.leaves(plain), jax.tree.leaves(remat)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_graft_autoencoder_warm_start(tmp_path, rng):
+    """Phase-2 warm-starts its feature renderer from a PHASE-1 checkpoint
+    (reference model.autoencoder.weights_filename,
+    environment_model_backpropagated_autoencoder.py:27-40)."""
+    from playableenvironments_tpu.train import checkpointing
+    from playableenvironments_tpu.train.trainer_autoencoder import (
+        AutoencoderTrainer,
+        AutoencoderTrainingConfig,
+    )
+
+    scene = decoder_scene()
+    # Phase 1: a couple of steps so the AE params are non-initial.
+    p1_trainer = AutoencoderTrainer(
+        scene.autoencoder, AutoencoderTrainingConfig(kl_lambda=1e-6)
+    )
+    images = jnp.asarray(rng.random((2, 32, 32, 3)).astype(np.float32))
+    p1_state = p1_trainer.init_state(jax.random.PRNGKey(3), images)
+    step = jax.jit(p1_trainer.train_step)
+    for i in range(2):
+        p1_state, _ = step(p1_state, images, jax.random.PRNGKey(i))
+    ckpt = checkpointing.save_checkpoint(str(tmp_path), p1_state)
+
+    # Phase 2 init, then graft.
+    model = EnvironmentModel(scene)
+    batch = decoder_batch()
+    cfg = SynthesisTrainingConfig(
+        samples_per_image=16, patch_size=8, patch_strides=(4, 8),
+        decode_patches=True, loss_weights=LossWeights(reconstruction=1.0),
+    )
+    trainer = SynthesisTrainer(model, cfg)
+    state = trainer.init_state(jax.random.PRNGKey(0), batch)
+    grafted = checkpointing.graft_autoencoder(ckpt, state)
+
+    for a, b in zip(
+        jax.tree.leaves(grafted.params["autoencoder"]),
+        jax.tree.leaves(p1_state.params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    # Other submodules untouched.
+    for a, b in zip(
+        jax.tree.leaves(grafted.params["composer"]),
+        jax.tree.leaves(state.params["composer"]),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # The grafted model still steps.
+    new_state, metrics = jax.jit(trainer.train_step)(
+        grafted, batch, jax.random.PRNGKey(1)
+    )
+    assert np.isfinite(float(metrics["loss"]))

@@ -71,6 +71,7 @@ def main():
         learning_rate=float(t.get("learning_rate", 5e-4)),
         lr_gamma=float(t.get("lr_gamma", 0.926118)),
         lr_decay_iterations=int(t.get("lr_decay_iterations", 10000)),
+        weight_decay=float(t.get("weight_decay", 0.0)),
         max_steps=args.max_steps or int(t.get("max_steps", 300000)),
         ground_truth_observations_start=int(t.get("ground_truth_observations_start", 6)),
         ground_truth_observations_end=int(t.get("ground_truth_observations_end", 6)),
@@ -82,6 +83,15 @@ def main():
         observations_count_steps=int(batching.get("observations_count_steps", 25000)),
         mutual_information_alpha=float(t.get("mutual_information_estimation_alpha", 0.2)),
         mutual_information_entropy_lambda=float(t.get("mutual_information_entropy_lambda", 1.0)),
+        betas=tuple(float(b) for b in t.get("betas", (0.9, 0.999))),
+        discriminator_learning_rate=(
+            float(t["discriminator_learning_rate"])
+            if "discriminator_learning_rate" in t else None
+        ),
+        discriminator_weight_decay=(
+            float(t["discriminator_weight_decay"])
+            if "discriminator_weight_decay" in t else None
+        ),
         use_camera_relative_acmv=bool(t.get("use_camera_relative_acmv", False)),
         acmv_rotation_axis=t.get("acmv_rotation_axis"),
         loss_weights=PlayableLossWeights(

@@ -63,6 +63,7 @@ def make_optimizer(
     group_learning_rates: Optional[Dict[str, float]] = None,
     group_fn: Optional[Callable[[str], str]] = None,
     group_freeze_steps: Optional[Dict[str, int]] = None,
+    betas: tuple = (0.9, 0.999),
 ) -> optax.GradientTransformation:
     """Adam with staircase-exponential lr decay and optional per-group rates.
 
@@ -73,6 +74,8 @@ def make_optimizer(
     :param group_freeze_steps: group name -> steps to hold its lr at 0 first
         (the reference's `frozen_autoencoder_steps`,
         trainer_backpropagated_autoencoder.py:118-121).
+    :param betas: Adam (b1, b2) — the published phase-3 GAN configs use
+        (0.5, 0.999) (playable_model_trainer.py:93, playability yamls).
     """
     group_freeze_steps = group_freeze_steps or {}
 
@@ -84,9 +87,10 @@ def make_optimizer(
             )
         else:
             schedule = base
+        b1, b2 = betas
         if weight_decay:
-            return optax.adamw(schedule, weight_decay=weight_decay)
-        return optax.adam(schedule)
+            return optax.adamw(schedule, b1=b1, b2=b2, weight_decay=weight_decay)
+        return optax.adam(schedule, b1=b1, b2=b2)
 
     if not group_learning_rates:
         return adam(learning_rate)

@@ -69,6 +69,13 @@ class PlayableTrainingConfig:
     mutual_information_alpha: float = 0.2
     mutual_information_entropy_lambda: float = 1.0
     gan_mode: str = "lsgan"
+    # Adam (b1, b2); the published playability experiments use (0.5, 0.999)
+    # (reference playable_model_trainer.py:93, playability yamls `betas`).
+    betas: Tuple[float, float] = (0.9, 0.999)
+    # Discriminator optimizer overrides (reference
+    # playable_model_trainer_discriminator.py:43-45); None = the main values.
+    discriminator_learning_rate: Optional[float] = None
+    discriminator_weight_decay: Optional[float] = None
     # Camera-relative ACMV (playable_model_trainer.py:234-263, 418-439):
     # movements rotated into the camera frame (about the ground-normal axis)
     # before the variance ratio.
@@ -235,19 +242,31 @@ class PlayableTrainer:
             self.cfg.lr_gamma,
             self.cfg.lr_decay_iterations,
             self.cfg.weight_decay,
+            betas=tuple(self.cfg.betas),
         )
         if self.playable_model.with_discriminators:
             tx = optax.chain(
                 optax.masked(base_tx, lambda p: _mask(p, False)),
                 optax.masked(optax.set_to_zero(), lambda p: _mask(p, True)),
             )
+            disc_lr = (
+                self.cfg.discriminator_learning_rate
+                if self.cfg.discriminator_learning_rate is not None
+                else self.cfg.learning_rate
+            )
+            disc_wd = (
+                self.cfg.discriminator_weight_decay
+                if self.cfg.discriminator_weight_decay is not None
+                else self.cfg.weight_decay
+            )
             self.tx_disc = optax.chain(
                 optax.masked(
                     make_optimizer(
-                        self.cfg.learning_rate,
+                        disc_lr,
                         self.cfg.lr_gamma,
                         self.cfg.lr_decay_iterations,
-                        self.cfg.weight_decay,
+                        disc_wd,
+                        betas=tuple(self.cfg.betas),
                     ),
                     lambda p: _mask(p, True),
                 ),

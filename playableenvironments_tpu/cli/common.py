@@ -81,6 +81,19 @@ def synthesis_training_config(cfg: Dict[str, Any]) -> SynthesisTrainingConfig:
     )
 
 
+def with_batching_overrides(cfg: Dict[str, Any], **overrides) -> Dict[str, Any]:
+    """cfg with individual `training.batching` keys overridden, PRESERVING
+    the rest of the section. Replacing the whole section (the old inline
+    idiom) silently dropped allowed_cameras / observation_stacking, so e.g.
+    an exported artifact could be shape-specialized to every camera of a
+    multi-camera split instead of the trained subset."""
+    training = dict(cfg.get("training", {}))
+    batching = dict(training.get("batching", {}))
+    batching.update(overrides)
+    training["batching"] = batching
+    return {**cfg, "training": training}
+
+
 def build_dataset(
     cfg: Dict[str, Any], split: str, batching_key: str = "batching"
 ) -> MulticameraVideoDataset:
@@ -132,6 +145,45 @@ def apply_debug_flags(cfg: Dict[str, Any]):
     if debug:
         jax.config.update("jax_debug_nans", True)
     return debug
+
+
+class ProfileWindow:
+    """One-shot jax.profiler trace of the steps in
+    [profile_start_step, profile_start_step + profile_steps), shared by all
+    three training loops (the torch.profiler epoch wrap of reference
+    trainer.py:94-97, 607-618).
+
+    Fires at most ONCE per process: without the `done` latch, a loop whose
+    step counter keeps growing would restart the trace after every stop,
+    profiling half the run and flooding <results>/profile with dumps.
+    """
+
+    def __init__(self, training_cfg: Dict[str, Any], results_dir: str, log_fn=print):
+        self.enabled = bool(training_cfg.get("enable_profiling", False))
+        self.start = int(training_cfg.get("profile_start_step", 10))
+        self.steps = int(training_cfg.get("profile_steps", 5))
+        self.out_dir = os.path.join(results_dir, "profile")
+        self.log_fn = log_fn
+        self.active = False
+        self.done = False
+
+    def before_step(self, step: int):
+        """Call with the pre-update step counter; >= (not ==) so loops that
+        advance several steps per dispatch still enter the window."""
+        if self.enabled and not self.done and not self.active and step >= self.start:
+            jax.profiler.start_trace(self.out_dir)
+            self.active = True
+
+    def after_step(self, step: int, result=None):
+        """Call with the post-update counter; blocks on `result` so the trace
+        captures the device work of the final profiled step."""
+        if self.active and step >= self.start + self.steps:
+            if result is not None:
+                jax.block_until_ready(result)
+            jax.profiler.stop_trace()
+            self.active = False
+            self.done = True
+            self.log_fn(f"profiler trace written to {self.out_dir}")
 
 
 def output_dirs(cfg: Dict[str, Any]) -> Tuple[str, str]:
@@ -213,12 +265,7 @@ def run_synthesis_training(
     state = replicate(state, mesh)
 
     quick_dir = os.path.join(checkpoints_dir, "quick")
-    latest = checkpointing.latest_checkpoint(checkpoints_dir)
-    latest_quick = checkpointing.latest_checkpoint(quick_dir)
-    resume_from = max(
-        [latest, latest_quick],
-        key=lambda p: int(p.rsplit("_", 1)[-1]) if p else -1,
-    )
+    resume_from = checkpointing.latest_checkpoint_any(checkpoints_dir, quick_dir)
     if resume_from:
         state = checkpointing.restore_checkpoint(resume_from, state)
         state = replicate(state, mesh)
@@ -267,37 +314,19 @@ def run_synthesis_training(
 
     meter, timer = AverageMeter(), TimeMeter()
 
-    # Profiling (the torch.profiler epoch wrap, trainer.py:94-97/607-618):
-    # training.enable_profiling captures a jax.profiler trace of
-    # [profile_start_step, profile_start_step + profile_steps) into
-    # <results>/profile, viewable in TensorBoard/Perfetto.
-    enable_profiling = bool(cfg["training"].get("enable_profiling", False))
-    profile_start = int(cfg["training"].get("profile_start_step", 10))
-    profile_steps = int(cfg["training"].get("profile_steps", 5))
-    profiling_active = False
+    profile = ProfileWindow(cfg["training"], results_dir, logger.print)
 
     epoch = 0
     while int(state.step) < train_cfg.max_steps:
         for batch in epoch_batches(seed + epoch):
             key = jax.random.fold_in(jax.random.PRNGKey(seed), int(state.step))
-            if enable_profiling and int(state.step) == profile_start:
-                jax.profiler.start_trace(os.path.join(results_dir, "profile"))
-                profiling_active = True
+            profile.before_step(int(state.step))
             with timer.section("step"):
                 with jax.profiler.StepTraceAnnotation(
                     "train_step", step_num=int(state.step)
                 ):
                     state, metrics = step_fn(state, batch, key)
-            if profiling_active and int(state.step) >= profile_start + profile_steps:
-                jax.tree.map(
-                    lambda x: x.block_until_ready() if hasattr(x, "block_until_ready") else x,
-                    metrics,
-                )
-                jax.profiler.stop_trace()
-                profiling_active = False
-                logger.print(
-                    f"profiler trace written to {results_dir}/profile"
-                )
+            profile.after_step(int(state.step), metrics)
             step = int(state.step)
             meter.add({k: float(v) for k, v in metrics.items()})
             if step % log_interval == 0 and is_main:

@@ -41,12 +41,12 @@ def main():
     )
 
     cfg = load_yaml(args.config)
-    from playableenvironments_tpu.cli.common import build_dataset
+    from playableenvironments_tpu.cli.common import build_dataset, with_batching_overrides
 
     # Fetch the example batch once and hand it to build_renderer (it would
     # otherwise fetch its own copy — a duplicate decode + prefetch thread).
     dataset = build_dataset(
-        {**cfg, "training": {"batching": {"observations_count": 1}}}, "test"
+        with_batching_overrides(cfg, observations_count=1), "test"
     )
     batch = next(dataset.iterate_batches(1, shuffle=False))
     renderer, _, env_model = build_renderer(cfg, args.checkpoint, batch=batch)

@@ -15,6 +15,7 @@ def build_renderer(cfg, checkpoint, seed=0, batch=None):
     import jax
 
     from playableenvironments_tpu.cli.common import (
+        with_batching_overrides,
         build_dataset,
         build_environment_model,
         synthesis_training_config,
@@ -25,7 +26,7 @@ def build_renderer(cfg, checkpoint, seed=0, batch=None):
 
     env_model = build_environment_model(cfg)
     dataset = build_dataset(
-        {**cfg, "training": {"batching": {"observations_count": 1}}}, "test"
+        with_batching_overrides(cfg, observations_count=1), "test"
     )
     if batch is None:
         batch = next(dataset.iterate_batches(1, shuffle=False))

@@ -57,6 +57,7 @@ def main():
     import jax
 
     from playableenvironments_tpu.cli.common import (
+        with_batching_overrides,
         build_dataset,
         build_environment_model,
         load_yaml,
@@ -84,7 +85,7 @@ def main():
     )
 
     dataset = build_dataset(
-        {**cfg, "training": {"batching": {"observations_count": 1}}}, "test"
+        with_batching_overrides(cfg, observations_count=1), "test"
     )
     batch = next(dataset.iterate_batches(1, shuffle=False))
     trainer = SynthesisTrainer(env_model, synthesis_training_config(cfg))

@@ -103,12 +103,7 @@ def main():
     state = trainer.init_state(jax.random.PRNGKey(args.seed), example)
 
     quick_dir = os.path.join(checkpoints_dir, "quick")
-    latest = checkpointing.latest_checkpoint(checkpoints_dir)
-    latest_quick = checkpointing.latest_checkpoint(quick_dir)
-    resume_from = max(
-        [latest, latest_quick],
-        key=lambda p: int(p.rsplit("_", 1)[-1]) if p else -1,
-    )
+    resume_from = checkpointing.latest_checkpoint_any(checkpoints_dir, quick_dir)
     if resume_from:
         state = checkpointing.restore_checkpoint(resume_from, state)
         logger.print(f"resumed from {resume_from}")
@@ -139,30 +134,20 @@ def main():
         )
         evaluator = AutoencoderEvaluator(trainer, val_images)
 
-    # Profiling, as in the phase-2 loop (cli/common.py): training.
-    # enable_profiling captures [profile_start_step, +profile_steps) into
-    # <results>/profile for TensorBoard/Perfetto.
-    enable_profiling = bool(t.get("enable_profiling", False))
-    profile_start = int(t.get("profile_start_step", 10))
-    profile_steps = int(t.get("profile_steps", 5))
-    profiling_active = False
+    from playableenvironments_tpu.cli.common import ProfileWindow
+
+    profile = ProfileWindow(t, results_dir, logger.print)
 
     epoch = 0
     while int(state.step) < train_cfg.max_steps:
         for images in image_batches(args.seed + epoch):
             key = jax.random.fold_in(jax.random.PRNGKey(args.seed), int(state.step))
-            if enable_profiling and int(state.step) == profile_start:
-                jax.profiler.start_trace(os.path.join(results_dir, "profile"))
-                profiling_active = True
+            profile.before_step(int(state.step))
             with jax.profiler.StepTraceAnnotation(
                 "train_step", step_num=int(state.step)
             ):
                 state, metrics = step_fn(state, images, key)
-            if profiling_active and int(state.step) >= profile_start + profile_steps:
-                jax.block_until_ready(metrics)
-                jax.profiler.stop_trace()
-                profiling_active = False
-                logger.print(f"profiler trace written to {results_dir}/profile")
+            profile.after_step(int(state.step), metrics)
             step = int(state.step)
             meter.add({k: float(v) for k, v in metrics.items()})
             if step % log_interval == 0 and is_main:

@@ -134,13 +134,7 @@ def main():
 
     # Resume from the newest of named and quick checkpoints.
     quick_dir = os.path.join(checkpoints_dir, "quick")
-    latest = checkpointing.latest_checkpoint(checkpoints_dir)
-    latest_quick = checkpointing.latest_checkpoint(quick_dir)
-
-    def _ckpt_step(path):
-        return int(path.rsplit("_", 1)[-1]) if path else -1
-
-    resume_from = max([latest, latest_quick], key=_ckpt_step)
+    resume_from = checkpointing.latest_checkpoint_any(checkpoints_dir, quick_dir)
     if resume_from:
         state = checkpointing.restore_checkpoint(resume_from, state)
         logger.print(f"resumed from {resume_from}")
@@ -273,24 +267,22 @@ def main():
             evaluator.evaluate(jax.device_get(state), logger, step)
         return step
 
-    # Profiling, as in the phase-2 loop (cli/common.py): captures
+    # Profiling, as in the phase-2 loop: captures
     # [profile_start_step, +profile_steps) — here rounded up to whole
-    # multi_step blocks — into <results>/profile.
-    enable_profiling = bool(t.get("enable_profiling", False))
-    profile_start = int(t.get("profile_start_step", 10))
-    profile_steps = int(t.get("profile_steps", 5))
-    profiling_active = False
+    # multi_step blocks — into <results>/profile. ProfileWindow's one-shot
+    # latch matters most in this loop: its step counter advances
+    # steps_per_call at a time and stays >= profile_start forever after.
+    from playableenvironments_tpu.cli.common import ProfileWindow
+
+    profile = ProfileWindow(t, results_dir, logger.print)
 
     def maybe_profile(before, state, metrics):
-        nonlocal profiling_active
-        if enable_profiling and not profiling_active and before >= profile_start:
-            jax.profiler.start_trace(os.path.join(results_dir, "profile"))
-            profiling_active = True
-        elif profiling_active and int(state.step) >= profile_start + profile_steps:
-            jax.block_until_ready(metrics)
-            jax.profiler.stop_trace()
-            profiling_active = False
-            logger.print(f"profiler trace written to {results_dir}/profile")
+        # Called AFTER each dispatched block; start and stop on different
+        # calls (start-then-immediately-stop would capture zero blocks).
+        if not profile.active:
+            profile.before_step(before)
+        else:
+            profile.after_step(int(state.step), metrics)
 
     epoch = 0
     while int(state.step) < train_cfg.max_steps:

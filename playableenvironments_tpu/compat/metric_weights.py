@@ -125,12 +125,26 @@ def convert_torch_inception_state_dict(
         params[block] = block_params
         stats[block] = block_stats
 
-    consumed_prefixes = tuple(_INCEPTION_STEM) + tuple(_INCEPTION_BLOCKS)
+    # Fail-loud contract: compare against the EXACT set of consumed key
+    # names, not block-name prefixes — a variant with extra branches nested
+    # under a recognized block (Mixed_5b.branch_extra...) must be rejected,
+    # not silently ignored (FID from a different network than supplied).
+    conv_prefixes = list(_INCEPTION_STEM) + [
+        f"{block}.{branch}"
+        for block, kind in _INCEPTION_BLOCKS.items()
+        for branch in _INCEPTION_BRANCHES[kind]
+    ]
+    consumed = {
+        f"{p}.{suffix}"
+        for p in conv_prefixes
+        for suffix in (
+            "conv.weight", "bn.weight", "bn.bias",
+            "bn.running_mean", "bn.running_var", "bn.num_batches_tracked",
+        )
+    }
     leftovers = [
         k for k in state
-        if not k.startswith(consumed_prefixes)
-        and not k.startswith(("fc.", "AuxLogits."))
-        and not k.endswith("num_batches_tracked")
+        if k not in consumed and not k.startswith(("fc.", "AuxLogits."))
     ]
     if leftovers:
         raise KeyError(

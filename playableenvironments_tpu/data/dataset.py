@@ -290,7 +290,16 @@ class MulticameraVideoDataset:
                     except queue.Full:
                         if stop.is_set():
                             return
-            q.put(None)
+            # The end-of-epoch sentinel needs the same timed-put loop: a
+            # plain blocking put leaks the thread when the producer finishes
+            # all batches (queue full) before the consumer abandons us.
+            while True:
+                try:
+                    q.put(None, timeout=0.5)
+                    return
+                except queue.Full:
+                    if stop.is_set():
+                        return
 
         q: "queue.Queue" = queue.Queue(maxsize=prefetch)
         thread = threading.Thread(target=producer, args=(q,), daemon=True)

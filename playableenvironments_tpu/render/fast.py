@@ -331,7 +331,10 @@ def render_rays_fast(
     for a, entry in enumerate(per):
         t_a = entry["t_c"]  # (L, B, S_a)
         if entry["unsorted"]:
-            own_next = _next_within(t_a)
+            # Stashed for phase 3's per-object integration: the (L, B, S, S)
+            # pairwise tensor is the largest fast-path intermediate — one
+            # copy per object, not two.
+            own_next = entry["own_next"] = _next_within(t_a)
         else:
             own_next = jnp.concatenate(
                 [t_a[..., 1:], jnp.full_like(t_a[..., :1], big)], axis=-1
@@ -465,7 +468,7 @@ def render_rays_fast(
         # Per-object integration (own-sample spacing, own transmittance —
         # compositing.integrate semantics), scattered to the full ray set.
         if entry["unsorted"]:
-            own_succ = _next_within(t_a)
+            own_succ = entry["own_next"]  # computed once in phase 2
             own_dist = jnp.where(
                 own_succ >= big, 1e10, own_succ - t_a
             ) * entry["dirn_c"][..., None]

@@ -72,7 +72,28 @@ def latest_checkpoint(directory: str) -> Optional[str]:
                 continue
     if not candidates:
         return None
-    return os.path.join(directory, max(candidates)[1])
+    # Absolute, matching save_checkpoint: orbax restore rejects relative
+    # paths (a run with a relative checkpoints_root could save but not resume).
+    return os.path.abspath(os.path.join(directory, max(candidates)[1]))
+
+
+def checkpoint_step(path: Optional[str]) -> int:
+    """The step encoded in a `checkpoint_<step>` path (-1 for None)."""
+    if not path:
+        return -1
+    try:
+        return int(path.rsplit("_", 1)[-1])
+    except ValueError:
+        return -1
+
+
+def latest_checkpoint_any(*directories: str) -> Optional[str]:
+    """The newest checkpoint (by step) across several directories — the
+    resume-from-newest-of-named-and-quick rule shared by all three training
+    CLIs (reference train.py:55-59 + the quick saves of train.py:81-86)."""
+    candidates = [latest_checkpoint(d) for d in directories]
+    best = max(candidates, key=checkpoint_step)
+    return best if checkpoint_step(best) >= 0 else None
 
 
 def restore_checkpoint(path: str, state: TrainState) -> TrainState:

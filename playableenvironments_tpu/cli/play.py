@@ -39,6 +39,7 @@ class InteractiveSession:
         centroids: List,
         image_size,
         patch_strides=None,
+        mesh=None,
     ):
         import jax
 
@@ -49,7 +50,8 @@ class InteractiveSession:
         self.playable_variables = playable_variables
         self.centroids = centroids
         self.renderer = FrameRenderer(
-            environment_model, env_variables, image_size, patch_strides
+            environment_model, env_variables, image_size, patch_strides,
+            mesh=mesh,
         )
         self.object_ids = ObjectIds(playable_model.scene)
         self.encoding = None
@@ -108,6 +110,7 @@ def main():
         build_environment_model,
         load_yaml,
         synthesis_training_config,
+        with_batching_overrides,
     )
     from playableenvironments_tpu.render.playable_model import PlayableEnvironmentModel
     from playableenvironments_tpu.train import checkpointing
@@ -122,9 +125,13 @@ def main():
     env_model = build_environment_model(cfg)
     playable = PlayableEnvironmentModel(env_model.scene)
 
+    # Spread eval batching as OVERRIDES on top of training.batching: a bare
+    # replacement would drop allowed_cameras / observation_stacking whenever
+    # evaluation.batching omits them, and the dataset would then span every
+    # camera while the model sized its camera memory from the training subset.
     eval_batching = cfg.get("evaluation", {}).get("batching", {})
     dataset = build_dataset(
-        {**cfg, "training": {"batching": {**eval_batching, "observations_count": 1}}},
+        with_batching_overrides(cfg, **{**eval_batching, "observations_count": 1}),
         "test",
     )
     batch = next(dataset.iterate_batches(1, shuffle=False))
@@ -153,9 +160,11 @@ def main():
         from playableenvironments_tpu.models.autoencoder import autoencoder_strides
 
         strides = autoencoder_strides(env_model.scene.autoencoder)
+    from playableenvironments_tpu.cli.common import build_eval_mesh
+
     session = InteractiveSession(
         env_model, env_variables, playable, playable_variables, centroids,
-        (h, w), strides,
+        (h, w), strides, mesh=build_eval_mesh(cfg),
     )
 
     frames = [session.initialize(batch)]

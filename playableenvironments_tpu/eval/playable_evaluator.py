@@ -65,6 +65,10 @@ class PlayableModelEvaluator:
         self.seed = seed
         self.object_ids = ObjectIds(trainer.environment_model.scene)
         self._val_loss_fn = jax.jit(self._val_losses_impl)
+        # One jitted whole-trajectory rollout per dynamic object (the cache
+        # holds at most dynamic_objects_count entries); dynamic_idx is static
+        # because it selects the animation-model submodule.
+        self._rollout_fn = jax.jit(self._rollout_impl, static_argnums=0)
 
     # ------------------------------------------------------------------
 
@@ -103,6 +107,19 @@ class PlayableModelEvaluator:
         )
         return metrics
 
+    def _rollout_impl(
+        self, dynamic_idx, variables, rotations, translations, style,
+        deformation, actions, variations,
+    ):
+        """Whole-trajectory rollout for one dynamic object as ONE fused op
+        (replaces the reference's per-timestep torch loop,
+        playable_model_evaluator.py:123-206)."""
+        return self.trainer.playable_model.apply(
+            variables, dynamic_idx, rotations, translations, style,
+            deformation, actions, variations, 1,
+            method=PlayableEnvironmentModel.rollout_single,
+        )
+
     def validation_losses(self, state) -> Dict[str, float]:
         sums: Dict[str, float] = {}
         count = 0
@@ -131,13 +148,13 @@ class PlayableModelEvaluator:
         self, state, encoding: SceneEncoding, action_idx: int, renderer
     ) -> np.ndarray:
         """Roll the dynamics forward from the frame-0 state with a fixed
-        action for every dynamic object, rendering each step.
+        action for every dynamic object, rendering each step. One jitted
+        fused-rollout dispatch per object (not T x O Python steps).
 
         :param encoding: (1, T>=1, ...) scene encoding; frame 0 is the seed.
         :param renderer: FrameRenderer built for this batch's image size.
         :return: (frames, H, W, 3) rendered rollout.
         """
-        playable = self.trainer.playable_model
         variables = self._playable_variables(state)
         static = self.object_ids.static_objects_count
         frames = self.action_video_frames
@@ -157,26 +174,24 @@ class PlayableModelEvaluator:
             # with fewer actions clamp to their last action instead of being
             # driven with an undefined all-zero one-hot.
             one_hot = jax.nn.one_hot(
-                jnp.asarray([min(action_idx, anim_cfg.actions_count - 1)]),
+                jnp.full(
+                    (1, frames - 1),
+                    min(action_idx, anim_cfg.actions_count - 1),
+                    dtype=jnp.int32,
+                ),
                 anim_cfg.actions_count,
             )
-            variation = jnp.zeros((1, anim_cfg.action_space_dimension))
-            carry = None
-            current = (
-                encoding.object_rotations[:, 0, obj],
-                encoding.object_translations[:, 0, obj],
-                encoding.object_style[:, 0, obj],
-                encoding.object_deformation[:, 0, obj],
+            variation = jnp.zeros((1, frames - 1, anim_cfg.action_space_dimension))
+            rec = self._rollout_fn(
+                dynamic_idx, variables,
+                rot[:, :, obj], trans[:, :, obj],
+                style[:, :, obj], deform[:, :, obj],
+                one_hot, variation,
             )
-            for t in range(1, frames):
-                carry, current = playable.apply(
-                    variables, dynamic_idx, carry, *current, one_hot, variation,
-                    method=PlayableEnvironmentModel.dynamics_step,
-                )
-                rot = rot.at[:, t, obj].set(current[0])
-                trans = trans.at[:, t, obj].set(current[1])
-                style = style.at[:, t, obj].set(current[2])
-                deform = deform.at[:, t, obj].set(current[3])
+            rot = rot.at[:, :, obj].set(rec[0])
+            trans = trans.at[:, :, obj].set(rec[1])
+            style = style.at[:, :, obj].set(rec[2])
+            deform = deform.at[:, :, obj].set(rec[3])
 
         rollout = rollout.replace(
             object_rotations=rot, object_translations=trans,
@@ -288,12 +303,19 @@ def build_playable_evaluator(
     """Assemble the evaluator from the experiment YAML: a `val` split when
     present (falling back to the training dataset), the AE patch strides when
     the synthesis model renders through the decoder."""
-    from playableenvironments_tpu.cli.common import build_dataset
+    from playableenvironments_tpu.cli.common import (
+        build_dataset,
+        with_batching_overrides,
+    )
 
     t = cfg.get("playable_model_training", {})
-    batching = t.get("batching", {})
+    # Spread the phase-3 batching section as OVERRIDES over training.batching
+    # so keys it omits (allowed_cameras, observation_stacking) keep the
+    # training values the model's camera memory was sized from.
     try:
-        dataset = build_dataset({**cfg, "training": {"batching": batching}}, "val")
+        dataset = build_dataset(
+            with_batching_overrides(cfg, **t.get("batching", {})), "val"
+        )
     except FileNotFoundError:
         dataset = train_dataset
 

@@ -177,6 +177,37 @@ class PlayableEnvironmentModel(nn.Module):
             results.append(out)
         return results
 
+    def rollout_single(
+        self,
+        dynamic_idx: int,
+        rotations: jnp.ndarray,
+        translations: jnp.ndarray,
+        style: jnp.ndarray,
+        deformation: jnp.ndarray,
+        actions: jnp.ndarray,
+        action_variations: jnp.ndarray,
+        ground_truth_observations=1,
+    ):
+        """Whole-trajectory dynamics rollout for ONE dynamic object — the
+        single-dispatch path evaluators use for per-action videos
+        (playable_model_evaluator.py:123-206 drives the same chain one torch
+        step at a time; here the full T-step chain is one fused rollout op).
+
+        :param rotations/translations/style/deformation: (bs, T, F) state
+            sequences; with ground_truth_observations=1 only frame 0 seeds
+            the rollout and the rest is autoregressive.
+        :param actions: (bs, T-1, A) one-hots; action_variations (bs, T-1, S).
+        :return: reconstructed (rotations, translations, style, deformation),
+            each (bs, T, F); index 0 is the ground-truth frame.
+        """
+        anim_idx = self.object_ids.animation_model_idx_by_dynamic_object_idx(
+            dynamic_idx
+        )
+        return self.animation_models[anim_idx].rollout_dynamics(
+            rotations, translations, style, deformation,
+            actions, action_variations, ground_truth_observations,
+        )
+
     def dynamics_step(
         self,
         dynamic_idx: int,

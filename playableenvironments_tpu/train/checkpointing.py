@@ -92,7 +92,7 @@ def latest_checkpoint_any(*directories: str) -> Optional[str]:
     resume-from-newest-of-named-and-quick rule shared by all three training
     CLIs (reference train.py:55-59 + the quick saves of train.py:81-86)."""
     candidates = [latest_checkpoint(d) for d in directories]
-    best = max(candidates, key=checkpoint_step)
+    best = max(candidates, key=checkpoint_step, default=None)
     return best if checkpoint_step(best) >= 0 else None
 
 

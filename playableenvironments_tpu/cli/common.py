@@ -94,6 +94,88 @@ def with_batching_overrides(cfg: Dict[str, Any], **overrides) -> Dict[str, Any]:
     return {**cfg, "training": training}
 
 
+def build_training_mesh(cfg: Dict[str, Any], batch_size: int):
+    """Device mesh from `training.mesh: {data: N, rays: M}`.
+
+    rays > 1 builds a 2D (data, rays) mesh: the batch is sharded over `data`
+    and the per-example sampled-ray axis over `rays` (the TPU-native form of
+    the reference's ray-axis scaling knob `samples_per_image_batching`,
+    environment_model.py:474-521 — chips instead of host-loop chunks). The
+    training loop must then run under `jax.set_mesh(mesh)` so the model's
+    internal `constrain_ray_axis` sharding constraint sees the rays axis.
+
+    Without the knob (or rays == 1) this is the round-2 behavior: a 1D data
+    mesh over every device the batch divides.
+
+    :return: (mesh, is_2d).
+    """
+    from playableenvironments_tpu.parallel import create_2d_mesh, create_mesh
+
+    mesh_cfg = cfg.get("training", {}).get("mesh") or {}
+    rays = int(mesh_cfg.get("rays", 1))
+    data = int(mesh_cfg.get("data", 0))
+    devices = jax.devices()
+
+    if rays > 1:
+        if data <= 0:
+            data = max(len(devices) // rays, 1)
+        need = data * rays
+        if need > len(devices):
+            raise ValueError(
+                f"training.mesh data={data} x rays={rays} needs {need} "
+                f"devices, only {len(devices)} available"
+            )
+        if batch_size % (data * max(jax.process_count(), 1)) and batch_size % data:
+            raise ValueError(
+                f"batch_size {batch_size} must divide over the data axis "
+                f"({data}) of the 2D mesh"
+            )
+        return create_2d_mesh(devices[:need], data=data), True
+
+    process_count = jax.process_count()
+    if data > 0:
+        if data > len(devices):
+            raise ValueError(
+                f"training.mesh data={data} exceeds {len(devices)} devices"
+            )
+        return create_mesh(devices[:data]), False
+    if process_count > 1:
+        if batch_size % len(devices):
+            raise ValueError(
+                f"batch_size {batch_size} must divide over {len(devices)} "
+                "devices in a multi-host run"
+            )
+        return create_mesh(), False
+    # Single host: shard over the largest device prefix the batch divides
+    # (a CPU test mesh has 8 virtual devices but smoke batches of 2).
+    import math
+
+    usable = math.gcd(batch_size, len(devices))
+    return create_mesh(devices[:usable]), False
+
+
+def build_eval_mesh(cfg: Dict[str, Any]):
+    """Optional (data, rays) mesh from `evaluation.mesh: {data: N, rays: M}`
+    for full-frame eval renders (dataset creators, play): the frame's ray
+    axis shards over `rays`. Returns None when unconfigured or rays <= 1 —
+    single-device eval stays the default."""
+    mesh_cfg = cfg.get("evaluation", {}).get("mesh") or {}
+    rays = int(mesh_cfg.get("rays", 1))
+    if rays <= 1:
+        return None
+    from playableenvironments_tpu.parallel import create_2d_mesh
+
+    data = int(mesh_cfg.get("data", 1))
+    devices = jax.devices()
+    need = max(data, 1) * rays
+    if need > len(devices):
+        raise ValueError(
+            f"evaluation.mesh data={data} x rays={rays} needs {need} "
+            f"devices, only {len(devices)} available"
+        )
+    return create_2d_mesh(devices[:need], data=max(data, 1))
+
+
 def build_dataset(
     cfg: Dict[str, Any], split: str, batching_key: str = "batching"
 ) -> MulticameraVideoDataset:
@@ -170,7 +252,14 @@ class ProfileWindow:
     def before_step(self, step: int):
         """Call with the pre-update step counter; >= (not ==) so loops that
         advance several steps per dispatch still enter the window."""
-        if self.enabled and not self.done and not self.active and step >= self.start:
+        if not self.enabled or self.done or self.active:
+            return
+        if step >= self.start + self.steps:
+            # A resume landed past the whole window: skip, don't capture a
+            # stray one-step trace at resume time.
+            self.done = True
+            return
+        if step >= self.start:
             jax.profiler.start_trace(self.out_dir)
             self.active = True
 
@@ -184,6 +273,17 @@ class ProfileWindow:
             self.active = False
             self.done = True
             self.log_fn(f"profiler trace written to {self.out_dir}")
+
+    def close(self):
+        """Stop an in-flight trace when the loop exits inside the window
+        (max_steps reached between before_step and the stop threshold) —
+        otherwise stop_trace is never called and the dump is lost. Call via
+        try/finally after every training loop."""
+        if self.active:
+            jax.profiler.stop_trace()
+            self.active = False
+            self.done = True
+            self.log_fn(f"profiler trace written to {self.out_dir} (loop exit)")
 
 
 def output_dirs(cfg: Dict[str, Any]) -> Tuple[str, str]:
@@ -227,31 +327,28 @@ def run_synthesis_training(
 
     # Data-parallel mesh over every device of every host; with one device
     # this degenerates to plain placement. Per-host batches hold this host's
-    # interleaved slice of the global batch.
-    from playableenvironments_tpu.parallel import (
-        create_mesh,
-        replicate,
-        shard_batch,
-    )
+    # interleaved slice of the global batch. `training.mesh: {data, rays}`
+    # switches to a 2D mesh with the sampled-ray axis sharded over `rays`.
+    import contextlib
+
+    from playableenvironments_tpu.parallel import replicate, shard_batch
 
     process_index, process_count = jax.process_index(), jax.process_count()
     is_main = process_index == 0
-    devices_count = len(jax.devices())
-    if process_count > 1:
-        if batch_size % devices_count:
+    mesh, mesh_is_2d = build_training_mesh(cfg, batch_size)
+    if mesh_is_2d:
+        samples = int(cfg["training"].get("samples_per_image", 0))
+        rays_size = dict(mesh.shape)["rays"]
+        if samples and samples % rays_size:
             raise ValueError(
-                f"batch_size {batch_size} must divide over {devices_count} "
-                "devices in a multi-host run"
+                f"training.samples_per_image {samples} must divide over the "
+                f"rays axis ({rays_size}) of the 2D mesh"
             )
-        mesh = create_mesh()
-    else:
-        # Single host: shard over the largest device prefix the batch divides
-        # (a CPU test mesh has 8 virtual devices but smoke batches of 2).
-        import math
-
-        usable = math.gcd(batch_size, devices_count)
-        mesh = create_mesh(jax.devices()[:usable])
     local_batch = batch_size // process_count
+    # The ambient mesh makes `constrain_ray_axis` (applied inside the model
+    # on the sampled-ray axis) an active sharding constraint; on a 1D mesh
+    # it is a no-op and this context changes nothing.
+    mesh_context = jax.set_mesh(mesh) if mesh_is_2d else contextlib.nullcontext()
 
     def epoch_batches(epoch_seed):
         for host_batch in dataset.iterate_batches(
@@ -260,104 +357,117 @@ def run_synthesis_training(
         ):
             yield shard_batch(host_batch, mesh)
 
-    example = next(epoch_batches(seed))
-    state = trainer.init_state(jax.random.PRNGKey(seed), example)
-    state = replicate(state, mesh)
-
-    quick_dir = os.path.join(checkpoints_dir, "quick")
-    resume_from = checkpointing.latest_checkpoint_any(checkpoints_dir, quick_dir)
-    if resume_from:
-        state = checkpointing.restore_checkpoint(resume_from, state)
+    with mesh_context:
+        example = next(epoch_batches(seed))
+        state = trainer.init_state(jax.random.PRNGKey(seed), example)
         state = replicate(state, mesh)
-        logger.print(f"resumed from {resume_from} at step {int(state.step)}")
-    else:
-        # Warm-start the feature renderer from the phase-1 checkpoint
-        # (reference `model.autoencoder.weights_filename`, loaded in
-        # environment_model_backpropagated_autoencoder.py:27-40; the
-        # published phase-2 runs start from a 300k-step pretrained AE).
-        ae_ckpt = cfg.get("model", {}).get("autoencoder", {}).get(
-            "weights_filename", ""
+
+        quick_dir = os.path.join(checkpoints_dir, "quick")
+        resume_from = checkpointing.latest_checkpoint_any(
+            checkpoints_dir, quick_dir
         )
-        if ae_ckpt and ae_ckpt != "untrained_model":
-            state = checkpointing.graft_autoencoder(ae_ckpt, state)
+        if resume_from:
+            state = checkpointing.restore_checkpoint(resume_from, state)
             state = replicate(state, mesh)
-            logger.print(f"autoencoder warm-started from {ae_ckpt}")
+            logger.print(f"resumed from {resume_from} at step {int(state.step)}")
+        else:
+            # Warm-start the feature renderer from the phase-1 checkpoint
+            # (reference `model.autoencoder.weights_filename`, loaded in
+            # environment_model_backpropagated_autoencoder.py:27-40; the
+            # published phase-2 runs start from a 300k-step pretrained AE).
+            ae_ckpt = cfg.get("model", {}).get("autoencoder", {}).get(
+                "weights_filename", ""
+            )
+            if ae_ckpt and ae_ckpt != "untrained_model":
+                state = checkpointing.graft_autoencoder(ae_ckpt, state)
+                state = replicate(state, mesh)
+                logger.print(f"autoencoder warm-started from {ae_ckpt}")
 
-    step_fn = jax.jit(trainer.train_step, donate_argnums=0)
-    log_interval = int(cfg["training"].get("log_interval_steps", 10))
-    save_freq = int(cfg["training"].get("save_freq", 30000))
-    quick_save_freq = int(cfg["training"].get("quick_save_freq", 500))
-    eval_freq = int(cfg["training"].get("eval_freq", 0))
+        step_fn = jax.jit(trainer.train_step, donate_argnums=0)
+        log_interval = int(cfg["training"].get("log_interval_steps", 10))
+        save_freq = int(cfg["training"].get("save_freq", 30000))
+        quick_save_freq = int(cfg["training"].get("quick_save_freq", 500))
+        eval_freq = int(cfg["training"].get("eval_freq", 0))
 
-    evaluator = None
-    eval_batch = None
-    if eval_freq:
-        # Training-time qualitative evaluation (evaluation/evaluator.py):
-        # render a validation batch full-frame + a novel view, log the grid.
-        from playableenvironments_tpu.eval.training_evaluator import (
-            TrainingEvaluator,
-        )
+        evaluator = None
+        eval_batch = None
+        if eval_freq:
+            # Training-time qualitative evaluation (evaluation/evaluator.py):
+            # render a validation batch full-frame + a novel view, log the grid.
+            from playableenvironments_tpu.eval.training_evaluator import (
+                TrainingEvaluator,
+            )
 
+            try:
+                val_dataset = build_dataset(cfg, "val")
+            except FileNotFoundError:
+                val_dataset = dataset
+            eval_batch = next(val_dataset.iterate_batches(1, shuffle=False))
+            image_size = eval_batch.observations.shape[-3:-1]
+            evaluator = TrainingEvaluator(
+                model, image_size,
+                patch_strides=train_cfg.patch_strides
+                if model.scene.autoencoder is not None
+                else None,
+            )
+        from playableenvironments_tpu.utils.meters import AverageMeter, TimeMeter
+
+        meter, timer = AverageMeter(), TimeMeter()
+
+        profile = ProfileWindow(cfg["training"], results_dir, logger.print)
+
+        epoch = 0
         try:
-            val_dataset = build_dataset(cfg, "val")
-        except FileNotFoundError:
-            val_dataset = dataset
-        eval_batch = next(val_dataset.iterate_batches(1, shuffle=False))
-        image_size = eval_batch.observations.shape[-3:-1]
-        evaluator = TrainingEvaluator(
-            model, image_size,
-            patch_strides=train_cfg.patch_strides
-            if model.scene.autoencoder is not None
-            else None,
-        )
-    from playableenvironments_tpu.utils.meters import AverageMeter, TimeMeter
-
-    meter, timer = AverageMeter(), TimeMeter()
-
-    profile = ProfileWindow(cfg["training"], results_dir, logger.print)
-
-    epoch = 0
-    while int(state.step) < train_cfg.max_steps:
-        for batch in epoch_batches(seed + epoch):
-            key = jax.random.fold_in(jax.random.PRNGKey(seed), int(state.step))
-            profile.before_step(int(state.step))
-            with timer.section("step"):
-                with jax.profiler.StepTraceAnnotation(
-                    "train_step", step_num=int(state.step)
-                ):
-                    state, metrics = step_fn(state, batch, key)
-            profile.after_step(int(state.step), metrics)
-            step = int(state.step)
-            meter.add({k: float(v) for k, v in metrics.items()})
-            if step % log_interval == 0 and is_main:
-                logged = meter.pop_all()
-                logged["steps_per_sec"] = 1.0 / max(timer.summary().get("step", 1), 1e-9)
-                logger.log(logged, step)
-            if (step % save_freq == 0 or step >= train_cfg.max_steps) and is_main:
-                # device_get first: the state is fully replicated so process 0
-                # can fetch it without any collective, and the orbax write
-                # then involves no multi-host coordination (calling collective
-                # save/eval on process 0 only would deadlock >1-process runs).
-                checkpointing.save_checkpoint(
-                    checkpoints_dir, jax.device_get(state)
-                )
-            elif step % quick_save_freq == 0 and is_main:
-                # Crash-bounding quick saves (reference train.py:81-86).
-                checkpointing.save_checkpoint(
-                    quick_dir, jax.device_get(state), keep=2
-                )
-            if evaluator is not None and step % eval_freq == 0 and is_main:
-                evaluator.evaluate(
-                    {
-                        "params": jax.device_get(state.params),
-                        "batch_stats": jax.device_get(state.batch_stats),
-                    },
-                    eval_batch, logger, step,
-                )
-            if step >= train_cfg.max_steps:
-                break
-        epoch += 1
-    if is_main:
-        checkpointing.save_checkpoint(checkpoints_dir, jax.device_get(state))
+            while int(state.step) < train_cfg.max_steps:
+                for batch in epoch_batches(seed + epoch):
+                    key = jax.random.fold_in(
+                        jax.random.PRNGKey(seed), int(state.step)
+                    )
+                    profile.before_step(int(state.step))
+                    with timer.section("step"):
+                        with jax.profiler.StepTraceAnnotation(
+                            "train_step", step_num=int(state.step)
+                        ):
+                            state, metrics = step_fn(state, batch, key)
+                    profile.after_step(int(state.step), metrics)
+                    step = int(state.step)
+                    meter.add({k: float(v) for k, v in metrics.items()})
+                    if step % log_interval == 0 and is_main:
+                        logged = meter.pop_all()
+                        logged["steps_per_sec"] = 1.0 / max(
+                            timer.summary().get("step", 1), 1e-9
+                        )
+                        logger.log(logged, step)
+                    if (
+                        step % save_freq == 0 or step >= train_cfg.max_steps
+                    ) and is_main:
+                        # device_get first: the state is fully replicated so
+                        # process 0 can fetch it without any collective, and
+                        # the orbax write then involves no multi-host
+                        # coordination (calling collective save/eval on
+                        # process 0 only would deadlock >1-process runs).
+                        checkpointing.save_checkpoint(
+                            checkpoints_dir, jax.device_get(state)
+                        )
+                    elif step % quick_save_freq == 0 and is_main:
+                        # Crash-bounding quick saves (reference train.py:81-86).
+                        checkpointing.save_checkpoint(
+                            quick_dir, jax.device_get(state), keep=2
+                        )
+                    if evaluator is not None and step % eval_freq == 0 and is_main:
+                        evaluator.evaluate(
+                            {
+                                "params": jax.device_get(state.params),
+                                "batch_stats": jax.device_get(state.batch_stats),
+                            },
+                            eval_batch, logger, step,
+                        )
+                    if step >= train_cfg.max_steps:
+                        break
+                epoch += 1
+        finally:
+            profile.close()
+        if is_main:
+            checkpointing.save_checkpoint(checkpoints_dir, jax.device_get(state))
     logger.close()
     return checkpoints_dir

@@ -18,6 +18,7 @@ def build_renderer(cfg, checkpoint, seed=0, batch=None):
         with_batching_overrides,
         build_dataset,
         build_environment_model,
+        build_eval_mesh,
         synthesis_training_config,
     )
     from playableenvironments_tpu.eval.creators import FrameRenderer
@@ -42,7 +43,8 @@ def build_renderer(cfg, checkpoint, seed=0, batch=None):
         strides = autoencoder_strides(env_model.scene.autoencoder)
     h, w = dataset.videos[0].image_size()
     renderer = FrameRenderer(
-        env_model, {"params": params, "batch_stats": batch_stats}, (h, w), strides
+        env_model, {"params": params, "batch_stats": batch_stats}, (h, w),
+        strides, mesh=build_eval_mesh(cfg),
     )
     return renderer, dataset, env_model
 

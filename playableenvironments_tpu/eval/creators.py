@@ -57,7 +57,14 @@ class FrameRenderer:
         patch_strides: Optional[Sequence[int]] = None,
         ray_tile: int = 0,
         use_fast: bool = True,
+        mesh=None,
     ):
+        """:param mesh: optional (data, rays) jax.sharding.Mesh
+        (parallel.create_2d_mesh): full-frame renders shard their ray axis
+        over the `rays` mesh axis — a full frame is exactly where multi-chip
+        ray sharding pays (reference knob: samples_per_image_batching,
+        environment_model.py:474-521). None = single-device (round-2
+        behavior)."""
         self.model = model
         self.variables = variables
         self.image_size = tuple(image_size)
@@ -66,9 +73,19 @@ class FrameRenderer:
         # The fused-kernel inference path (render.fast): ~2x the XLA
         # composer on TPU. Interpret mode keeps it runnable on CPU.
         self.use_fast = use_fast
+        self.mesh = mesh
         self._encode = jax.jit(self._encode_impl)
         self._render = jax.jit(
             self._render_fast_impl if use_fast else self._render_impl
+        )
+
+    def _mesh_context(self):
+        import contextlib
+
+        return (
+            jax.set_mesh(self.mesh)
+            if self.mesh is not None
+            else contextlib.nullcontext()
         )
 
     def _render_fast_impl(self, encoding: SceneEncoding):
@@ -138,11 +155,13 @@ class FrameRenderer:
         return jnp.clip(frames, 0.0, 1.0)
 
     def encode(self, batch) -> SceneEncoding:
-        return self._encode(batch.environment_model_args())
+        with self._mesh_context():
+            return self._encode(batch.environment_model_args())
 
     def render(self, encoding: SceneEncoding) -> jnp.ndarray:
         """:return: (B, T, C, H, W, 3) frames in [0, 1]."""
-        return self._render(encoding)
+        with self._mesh_context():
+            return self._render(encoding)
 
 
 class ReconstructedDatasetCreator:

@@ -752,6 +752,13 @@ class EnvironmentModel(nn.Module):
 
             results = jax.tree.map(concat, *tile_results)
         else:
+            # Full-frame SP: under an ambient 2D (data, rays) mesh the whole
+            # image's ray axis spreads over the rays axis — the multi-chip
+            # form of the reference's samples_per_image_batching knob
+            # (environment_model.py:474-521). No-op on a 1D mesh.
+            from playableenvironments_tpu.parallel.mesh import constrain_ray_axis
+
+            sampled_directions = constrain_ray_axis(sampled_directions, -2)
             results = self.render_sampled_rays(
                 encoding,
                 sampled_directions,

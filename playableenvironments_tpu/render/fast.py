@@ -548,6 +548,108 @@ def render_rays_fast(
     return results
 
 
+def _render_rays_fast_sharded(
+    mesh,
+    scene: SceneConfig,
+    variables: Dict,
+    ray_origins: jnp.ndarray,
+    ray_directions: jnp.ndarray,
+    focal_normals: jnp.ndarray,
+    w2o_matrices: jnp.ndarray,
+    style: jnp.ndarray,
+    deformation: jnp.ndarray,
+    object_in_scene: jnp.ndarray,
+    step: jnp.ndarray,
+    block_points: int,
+    interpret: bool,
+) -> Dict:
+    """render_rays_fast under shard_map over a (data, rays) mesh: each device
+    runs the fused kernel on its ray slice (rays are embarrassingly parallel
+    — nothing crosses the ray axis before the per-ray integral), and the
+    integrated per-ray outputs all-gather only where a consumer needs them.
+    The multi-chip form of the reference's samples_per_image_batching host
+    loop (environment_model.py:474-521). Pallas calls can't be partitioned by
+    GSPMD, so manual sharding (shard_map), not a sharding constraint."""
+    from jax.sharding import PartitionSpec as P
+
+    from playableenvironments_tpu.parallel.mesh import DATA_AXIS, RAYS_AXIS
+
+    axis_sizes = dict(mesh.shape)
+    rays_size = axis_sizes[RAYS_AXIS]
+    batch = ray_directions.shape[0]
+    data_axis = (
+        DATA_AXIS
+        if DATA_AXIS in axis_sizes
+        and axis_sizes[DATA_AXIS] > 1
+        and batch % axis_sizes[DATA_AXIS] == 0
+        else None
+    )
+
+    rays = ray_directions.shape[-2]
+    pad = (-rays) % rays_size
+    if pad:
+        # Unit-z padding rays: geometrically valid (finite AABB bounds, unit
+        # norm) so they produce ordinary garbage that's sliced off below.
+        filler = (
+            jnp.zeros(ray_directions.shape[:-2] + (pad, 3), ray_directions.dtype)
+            .at[..., 2]
+            .set(1.0)
+        )
+        ray_directions = jnp.concatenate([ray_directions, filler], axis=-2)
+
+    def lead_spec(x):
+        return P(*([data_axis] + [None] * (x.ndim - 1)))
+
+    dirs_spec = P(
+        *([data_axis] + [None] * (ray_directions.ndim - 3) + [RAYS_AXIS, None])
+    )
+
+    def local(variables, origins, directions, normals, w2o, sty, deform, in_scene, step):
+        return render_rays_fast(
+            scene, variables, origins, directions, normals, w2o, sty,
+            deform, in_scene, step=step, block_points=block_points,
+            interpret=interpret,
+        )
+
+    args = (
+        variables, ray_origins, ray_directions, focal_normals, w2o_matrices,
+        style, deformation, object_in_scene, jnp.asarray(step),
+    )
+    in_specs = (
+        P(),  # prefix spec: every variables leaf replicated
+        lead_spec(ray_origins), dirs_spec, lead_spec(focal_normals),
+        lead_spec(w2o_matrices), lead_spec(style), lead_spec(deformation),
+        lead_spec(object_in_scene), P(),
+    )
+    # Outputs carry the lead dims then the ray axis: features (..., rays, F),
+    # per-ray scalars (..., rays).
+    lead_ndim = ray_directions.ndim - 2
+
+    def out_spec(leaf):
+        return P(
+            *([data_axis] + [None] * (lead_ndim - 1) + [RAYS_AXIS]
+              + [None] * (leaf.ndim - lead_ndim - 1))
+        )
+
+    out_shapes = jax.eval_shape(local, *args)
+    out_specs = jax.tree.map(out_spec, out_shapes)
+    # check_vma=False: the Pallas kernel's ShapeDtypeStruct outputs carry no
+    # varying-mesh-axes annotation, and everything here is per-ray local (no
+    # collectives to validate).
+    results = jax.shard_map(
+        local, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+        check_vma=False,
+    )(*args)
+    if pad:
+        def unpad(leaf):
+            if leaf.ndim == lead_ndim + 2:
+                return leaf[..., :rays, :]
+            return leaf[..., :rays]
+
+        results = jax.tree.map(unpad, results)
+    return results
+
+
 def render_frame_fast(
     scene: SceneConfig,
     variables: Dict,
@@ -605,20 +707,42 @@ def render_frame_fast(
             x[:, :, None], x.shape[:2] + (cameras,) + x.shape[2:]
         )
 
-    results = render_rays_fast(
-        scene,
-        variables,
-        origins,
-        directions,
-        normals,
-        with_cameras(w2o),
-        with_cameras(encoding.object_style),
-        with_cameras(encoding.object_deformation),
-        with_cameras(encoding.object_in_scene),
-        step=step,
-        block_points=block_points,
-        interpret=interpret,
-    )
+    from playableenvironments_tpu.parallel.mesh import RAYS_AXIS
+
+    ambient = jax.sharding.get_abstract_mesh()
+    if RAYS_AXIS in getattr(ambient, "axis_names", ()):
+        # Under a (data, rays) mesh (jax.set_mesh or FrameRenderer(mesh=...)):
+        # shard the whole-frame ray axis across chips.
+        results = _render_rays_fast_sharded(
+            ambient,
+            scene,
+            variables,
+            origins,
+            directions,
+            normals,
+            with_cameras(w2o),
+            with_cameras(encoding.object_style),
+            with_cameras(encoding.object_deformation),
+            with_cameras(encoding.object_in_scene),
+            step,
+            block_points,
+            interpret,
+        )
+    else:
+        results = render_rays_fast(
+            scene,
+            variables,
+            origins,
+            directions,
+            normals,
+            with_cameras(w2o),
+            with_cameras(encoding.object_style),
+            with_cameras(encoding.object_deformation),
+            with_cameras(encoding.object_in_scene),
+            step=step,
+            block_points=block_points,
+            interpret=interpret,
+        )
     features = results["coarse"]["global"]["integrated_features"]
 
     if scene.autoencoder is not None and patch_strides:

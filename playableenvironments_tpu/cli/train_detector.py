@@ -38,6 +38,7 @@ def main():
         DetectorTrainer,
         DetectorTrainingConfig,
         dataset_detection_batches,
+        evaluate_detection,
     )
     from playableenvironments_tpu.utils.logger import Logger
     from playableenvironments_tpu.utils.meters import AverageMeter
@@ -66,6 +67,19 @@ def main():
         else None,
     )
 
+    # Validation split for the training-time detection-quality evaluation
+    # (reference: per-epoch COCO eval, evaluation/detection/engine.py:65+);
+    # falls back to the training split when no val split exists.
+    eval_freq = int(d.get("eval_freq", 0))
+    val_dataset = dataset
+    if eval_freq:
+        val_dir = os.path.join(data_cfg["data_root"], "val")
+        if os.path.isdir(val_dir):
+            val_dataset = MulticameraVideoDataset(
+                val_dir, observations_count=1,
+                target_size=dataset.target_size,
+            )
+
     key = jax.random.PRNGKey(args.seed)
     example = next(dataset_detection_batches(dataset, args.batch_size))
     state = trainer.init_state(key, example[0])
@@ -90,6 +104,17 @@ def main():
             step += 1
             if step % 50 == 0:
                 logger.log(meter.pop_all(), step)
+            if eval_freq and step % eval_freq == 0:
+                val_metrics = evaluate_detection(
+                    trainer, state,
+                    dataset_detection_batches(
+                        val_dataset, args.batch_size, shuffle=False
+                    ),
+                    max_batches=int(d.get("eval_batches", 8)),
+                )
+                logger.log(
+                    {f"val_{k}": v for k, v in val_metrics.items()}, step
+                )
             if step >= trainer_cfg.max_steps:
                 break
 

@@ -110,6 +110,60 @@ class DetectorTrainer:
         return detector
 
 
+@functools.partial(jax.jit, static_argnums=(0, 2))
+def _eval_forward(model, variables, top_k, images):
+    outputs = model.apply(variables, images, train=False)
+    return decode_detections(outputs, top_k=top_k)
+
+
+def evaluate_detection(
+    trainer: DetectorTrainer,
+    state: TrainState,
+    batches,
+    max_batches: int = 8,
+    top_k: int = 8,
+    threshold: float = 0.3,
+    match_threshold: float = 0.1,
+) -> Dict[str, float]:
+    """Validation-time detection quality: the eval-mode detector over a val
+    split, scored as MDR/ADD against the annotated boxes — the observable
+    signal the reference gets from its per-epoch COCO evaluation
+    (evaluation/detection/engine.py evaluate + coco_eval.py). Without it a
+    detector can silently feed garbage into the dataset evaluators' MDR/ADD.
+
+    :param batches: iterable of (images, boxes, validity) — e.g.
+        `dataset_detection_batches(val_dataset, bs, shuffle=False)`.
+    :return: {"missed_detection_rate", "average_detection_distance",
+        "mean_detections_per_image"}.
+    """
+    from playableenvironments_tpu.eval.metrics import DetectionScore
+
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    score = DetectionScore(match_threshold)
+    detections = 0
+    images_seen = 0
+    for batch_idx, (images, boxes, validity) in enumerate(batches):
+        if batch_idx >= max_batches:
+            break
+        out = _eval_forward(trainer.model, variables, top_k, jnp.asarray(images))
+        scores_np = np.asarray(out["scores"])
+        centers_np = np.asarray(out["centers"])
+        for b in range(images.shape[0]):
+            ref = np.asarray(boxes[b])[np.asarray(validity[b], bool)]
+            # ltrb -> (row, col) centers, the DetectorFn coordinate contract.
+            ref_centers = np.stack(
+                [(ref[:, 1] + ref[:, 3]) / 2.0, (ref[:, 0] + ref[:, 2]) / 2.0],
+                axis=-1,
+            )
+            detected = centers_np[b][scores_np[b] >= threshold]
+            score.update(ref_centers, detected)
+            detections += len(detected)
+            images_seen += 1
+    results = score.results()
+    results["mean_detections_per_image"] = detections / max(images_seen, 1)
+    return results
+
+
 def dataset_detection_batches(
     dataset, batch_size: int, shuffle: bool = True, seed: int = 0
 ) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray]]:

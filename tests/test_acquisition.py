@@ -335,3 +335,88 @@ def test_tennis_ingest_end_to_end(tmp_path):
             dataset = MulticameraVideoDataset(split_dir, observations_count=1)
             found.append((split, len(dataset)))
     assert found, "no split produced any videos"
+
+
+# ---------------------------------------------------------------------------
+# Minecraft ingest end to end (replay JSON + mp4 -> dataset -> one phase-2
+# training step; reference dataset/acquisition/minecraft/* +
+# scripts/make_minecraft_dataset.sh). The tennis pipeline got this treatment
+# in round 2; this closes the parity gap (r2 verdict item 9).
+# ---------------------------------------------------------------------------
+
+def test_minecraft_ingest_end_to_end(tmp_path):
+    cv2 = pytest.importorskip("cv2")
+    import shutil
+    import sys
+
+    import yaml
+
+    from playableenvironments_tpu.data.dataset import MulticameraVideoDataset
+    from playableenvironments_tpu.data.video import Video
+
+    # --- the rendered replay video (2 fps, 3 s = 6 frames @ 96x64), plus the
+    # replay annotations JSON with ONE tracked player (matching the smoke
+    # scene's single dynamic object).
+    video_path = str(tmp_path / "replay.mp4")
+    writer = cv2.VideoWriter(
+        video_path, cv2.VideoWriter_fourcc(*"mp4v"), 2, (96, 64)
+    )
+    assert writer.isOpened(), "cv2 mp4v writer unavailable"
+    for i in range(6):
+        frame = np.zeros((64, 96, 3), np.uint8)
+        frame[:, (i * 12) % 96 : (i * 12) % 96 + 12] = 200
+        writer.write(frame)
+    writer.release()
+    ann_path, split_path = _write_replay(str(tmp_path), frames=6, entities=1)
+
+    # --- parse + export with frame extraction (make_minecraft_dataset.sh's
+    # acquire_replays step).
+    recording = ReplayRecording(ann_path, split_path, video_file=video_path)
+    raw_root = str(tmp_path / "raw")
+    written = recording.export(raw_root, extract_frames=True)
+    assert len(written) == 2
+    camera0 = Video().load(os.path.join(written[0], "00000"))
+    assert camera0.frames_count == 4
+    assert camera0.get_frame(0).shape == (64, 96, 3)
+
+    # --- splits (both replay splits into train; val falls back to train in
+    # the CLI when absent).
+    data_root = str(tmp_path / "dataset")
+    os.makedirs(os.path.join(data_root))
+    shutil.copytree(raw_root, os.path.join(data_root, "train"))
+
+    ds = MulticameraVideoDataset(
+        os.path.join(data_root, "train"), observations_count=2
+    )
+    assert len(ds) > 0
+
+    # --- one phase-2 training step through the real CLI on the ingested
+    # dataset.
+    REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cfg = yaml.safe_load(
+        open(os.path.join(REPO, "configs", "synthetic_smoke.yaml"))
+    )
+    cfg["data"]["data_root"] = data_root
+    cfg["logging"]["output_root"] = os.path.join(tmp_path, "results")
+    cfg["logging"]["checkpoints_root"] = os.path.join(tmp_path, "checkpoints")
+    cfg["training"]["max_steps"] = 1
+    cfg["training"]["save_freq"] = 1
+    cfg["training"]["log_interval_steps"] = 1
+    cfg["training"]["batching"]["batch_size"] = 2
+    config_path = os.path.join(tmp_path, "minecraft_smoke.yaml")
+    yaml.safe_dump(cfg, open(config_path, "w"))
+
+    import importlib
+
+    argv = sys.argv
+    sys.argv = ["train", "--config", config_path]
+    try:
+        importlib.import_module("playableenvironments_tpu.cli.train").main()
+    finally:
+        sys.argv = argv
+
+    from playableenvironments_tpu.train.checkpointing import latest_checkpoint
+
+    assert latest_checkpoint(
+        os.path.join(cfg["logging"]["checkpoints_root"], "synthetic_smoke")
+    ) is not None

@@ -147,30 +147,39 @@ def init_vgg19(key: jax.Array, cuts: int = 5):
 # ---------------------------------------------------------------------------
 
 
-def load_torch_vgg_weights(
-    path: str, plan=VGG19_PLAN, max_block: Optional[int] = None
-) -> Tuple[Dict, bool]:
-    """Convert a torchvision VGG `state_dict` (features.N.weight/bias, OIHW)
-    to VGGFeatures params (HWIO). Returns (params_dict, pretrained=True);
-    raises FileNotFoundError if the file is absent."""
-    import torch
-
-    state = torch.load(path, map_location="cpu")
-    if hasattr(state, "state_dict"):
-        state = state.state_dict()
-
+def convert_torch_vgg_state_dict(
+    state, plan=VGG19_PLAN, max_block: Optional[int] = None
+) -> Dict:
+    """torchvision VGG `state_dict` (features.N.weight/bias, OIHW) ->
+    VGGFeatures variables (HWIO). Pure numpy — torch only needed to load
+    the .pth (load_torch_vgg_weights)."""
     params = {}
     torch_idx = 0
     for block_idx, widths in enumerate(plan):
         if max_block is not None and block_idx > max_block:
             break
         for conv_idx, _ in enumerate(widths):
-            weight = state[f"features.{torch_idx}.weight"].numpy()
-            bias = state[f"features.{torch_idx}.bias"].numpy()
+            weight = np.asarray(state[f"features.{torch_idx}.weight"])
+            bias = np.asarray(state[f"features.{torch_idx}.bias"])
             params[f"conv{block_idx}_{conv_idx}"] = {
                 "kernel": np.transpose(weight, (2, 3, 1, 0)),
                 "bias": bias,
             }
             torch_idx += 2  # conv + relu
         torch_idx += 1  # pool
-    return {"params": params}, True
+    return {"params": params}
+
+
+def load_torch_vgg_weights(
+    path: str, plan=VGG19_PLAN, max_block: Optional[int] = None
+) -> Tuple[Dict, bool]:
+    """Convert a torchvision VGG checkpoint file to VGGFeatures params.
+    Returns (params_dict, pretrained=True); raises FileNotFoundError if the
+    file is absent."""
+    import torch
+
+    state = torch.load(path, map_location="cpu")
+    if hasattr(state, "state_dict"):
+        state = state.state_dict()
+    state = {k: v.numpy() for k, v in state.items() if hasattr(v, "numpy")}
+    return convert_torch_vgg_state_dict(state, plan, max_block), True

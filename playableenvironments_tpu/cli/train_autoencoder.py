@@ -165,6 +165,7 @@ def main():
             if step >= train_cfg.max_steps:
                 break
         epoch += 1
+    profile.close()
     if is_main:
         checkpointing.save_checkpoint(checkpoints_dir, jax.device_get(state))
     logger.close()

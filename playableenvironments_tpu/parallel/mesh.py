@@ -87,13 +87,47 @@ def maybe_initialize_distributed():
     import jax
 
     jax.distributed.initialize()
+    warmup_collectives()
     return True
 
 
+def warmup_collectives():
+    """Run one tiny cross-process collective immediately after
+    `jax.distributed.initialize`, while all processes are still aligned from
+    the coordinator barrier. The first collective of the job creates the
+    backend communicator context under a fixed rendezvous deadline (30 s for
+    CPU Gloo); deferring it to the first train step lets per-process compile
+    skew blow that deadline. No-op single-process."""
+    import jax
+
+    if jax.process_count() <= 1:
+        return
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices("pe:collective_warmup")
+
+
 def replicate(tree: Any, mesh: Mesh) -> Any:
-    """Replicate a pytree (parameters, train state) on every device."""
+    """Replicate a pytree (parameters, train state) on every device.
+
+    Multi-process: every process holds an identical copy (same-seed init or
+    same checkpoint read), so the global array assembles from process-local
+    buffers with ZERO collectives. `jax.device_put` would instead run a
+    cross-host `assert_equal` allgather PER LEAF — thousands of DCN
+    collectives on a pod, and the first one establishes the Gloo/ICI context,
+    deadlining (30 s) when processes reach it skewed by compile time."""
     sharding = replicated(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+    if jax.process_count() > 1:
+        def place(x):
+            x = np.asarray(x)
+            return jax.make_array_from_callback(
+                x.shape, sharding, lambda idx: x[idx]
+            )
+    else:
+        def place(x):
+            return jax.device_put(x, sharding)
+
+    return jax.tree.map(place, tree)
 
 
 RAYS_AXIS = "rays"

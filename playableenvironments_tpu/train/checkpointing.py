@@ -20,7 +20,25 @@ from playableenvironments_tpu.train.state import TrainState
 
 
 def _checkpointer():
-    return ocp.PyTreeCheckpointer()
+    """A PyTree checkpointer whose barrier set is ONLY the calling process.
+
+    Checkpoint IO here is process-local by design (device_get-then-write:
+    payloads are host numpy, saves are CLI-gated to process 0, restores read
+    the same finalized files on every process independently). Orbax's default
+    Checkpointer instead runs save_start/restore barriers over ALL processes
+    — a process-0-gated quick save then deadlocks the job (observed live:
+    process 0 parked in sync_global_processes inside Checkpointer.save at
+    step 2 of the 2-process CLI test while process 1 trained on).
+    """
+    pid = jax.process_index()
+    return ocp.Checkpointer(
+        ocp.PyTreeCheckpointHandler(),
+        multiprocessing_options=ocp.options.MultiprocessingOptions(
+            primary_host=pid,
+            active_processes={pid},
+            barrier_sync_key_prefix=f"pe_solo_{pid}",
+        ),
+    )
 
 
 def save_checkpoint(

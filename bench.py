@@ -24,11 +24,39 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 REFERENCE_A100_RAYS_PER_SEC = 2.3e4  # documented estimate, see module docstring
 
 
-def _chained_step_ms(step_fn, state, data, iters):
+BENCH_REPEATS = int(os.environ.get("BENCH_REPEATS", 3))
+
+
+def _median_spread(samples):
+    """(median, spread%) — spread = (max-min)/median, the r2 verdict's
+    requested variance signal on every metric (single-shot measurements made
+    an 8% headline drift indistinguishable from tunnel noise)."""
+    ordered = sorted(samples)
+    median = ordered[len(ordered) // 2]
+    if len(ordered) % 2 == 0:
+        median = 0.5 * (median + ordered[len(ordered) // 2 - 1])
+    spread = (ordered[-1] - ordered[0]) / max(median, 1e-12) * 100.0
+    return median, round(spread, 1)
+
+
+def emit(metric, value, unit, vs_baseline, spread_pct=None):
+    line = {
+        "metric": metric, "value": value, "unit": unit,
+        "vs_baseline": vs_baseline,
+    }
+    if spread_pct is not None:
+        line["spread_pct"] = spread_pct
+        line["runs"] = BENCH_REPEATS
+    print(json.dumps(line))
+    return line
+
+
+def _chained_step_ms(step_fn, state, data, iters, repeats=None):
     """Per-step wall time via the DIFFERENCE of two chain lengths (iters and
     3*iters), both fed the same device-resident input state: the tunnel
     harness's fixed costs (state upload at ~70 MB/s, output fetch, dispatch)
-    appear in both runs and cancel, leaving pure per-step compute."""
+    appear in both runs and cancel, leaving pure per-step compute.
+    Repeated BENCH_REPEATS times; returns (median_ms, spread_pct)."""
     import jax
     import numpy as np
 
@@ -45,13 +73,16 @@ def _chained_step_ms(step_fn, state, data, iters):
     short, long = make(iters), make(3 * iters)
     np.asarray(short(state, data, jax.random.PRNGKey(1)))  # compile
     np.asarray(long(state, data, jax.random.PRNGKey(1)))  # compile
-    start = time.perf_counter()
-    np.asarray(short(state, data, jax.random.PRNGKey(2)))
-    t_short = time.perf_counter() - start
-    start = time.perf_counter()
-    np.asarray(long(state, data, jax.random.PRNGKey(3)))
-    t_long = time.perf_counter() - start
-    return max(t_long - t_short, 1e-9) / (2 * iters) * 1e3
+    samples = []
+    for repeat in range(repeats or BENCH_REPEATS):
+        start = time.perf_counter()
+        np.asarray(short(state, data, jax.random.PRNGKey(2 + repeat)))
+        t_short = time.perf_counter() - start
+        start = time.perf_counter()
+        np.asarray(long(state, data, jax.random.PRNGKey(100 + repeat)))
+        t_long = time.perf_counter() - start
+        samples.append(max(t_long - t_short, 1e-9) / (2 * iters) * 1e3)
+    return _median_spread(samples)
 
 
 def build_scene():
@@ -253,20 +284,154 @@ def bench_interactive_fps():
     import numpy as np
 
     np.asarray(chained(variables, encoding))  # compile + warm
-    start = time.perf_counter()
-    np.asarray(chained(variables, encoding))
-    fps = iters / (time.perf_counter() - start)
+    samples = []
+    for _ in range(BENCH_REPEATS):
+        start = time.perf_counter()
+        np.asarray(chained(variables, encoding))
+        samples.append((time.perf_counter() - start) / iters)
+    frame_s, spread = _median_spread(samples)
+    fps = 1.0 / frame_s
     # Reference interactive rate: saved play videos are encoded at 5 fps
     # (play.py:108) — the de-facto reference pace on one GPU.
-    print(
-        json.dumps(
-            {
-                "metric": "interactive_render_fps_512x288",
-                "value": round(fps, 2),
-                "unit": "frames/s",
-                "vs_baseline": round(fps / 5.0, 3),
-            }
+    emit(
+        "interactive_render_fps_512x288", round(fps, 2), "frames/s",
+        round(fps / 5.0, 3), spread,
+    )
+
+    # ---- Honest end-to-end loop (r2 verdict item 7): dynamics step for both
+    # players + full re-render + on-device uint8 conversion per frame, plus
+    # the measured host fetch of the displayed uint8 frame. This is what
+    # cli/play's generate_next loop actually executes per keypress
+    # (playable_environment_model.py:295-396).
+    import dataclasses as _dc
+
+    from playableenvironments_tpu.render.interactive import (
+        action_inputs,
+        interactive_step,
+    )
+    from playableenvironments_tpu.render.playable_model import (
+        PlayableEnvironmentModel,
+    )
+
+    anim = _phase3_animation_config()
+    scene3 = _dc.replace(scene, animation_models=(anim, anim))
+    playable = PlayableEnvironmentModel(scene3)
+    rot0 = encoding.object_rotations[:, 0, 2]
+    trans0 = encoding.object_translations[:, 0, 2]
+    style0 = encoding.object_style[:, 0, 2]
+    deform0 = encoding.object_deformation[:, 0, 2]
+    one_hots, variations = action_inputs(playable, [1, 2])
+
+    def init_both(module):
+        for dyn in range(2):
+            module.dynamics_step(
+                dyn, None, rot0, trans0, style0, deform0,
+                one_hots[dyn], variations[dyn],
+            )
+        return 0
+
+    playable_vars = jax.jit(
+        lambda k: playable.init(k, method=init_both)
+    )(jax.random.PRNGKey(1))
+
+    def make_loop(n):
+        @jax.jit
+        def loop(v_env, v_play, enc0):
+            initial_style = enc0.object_style
+            enc1, carries = interactive_step(
+                playable, v_play, enc0, initial_style, [None, None],
+                one_hots, variations,
+            )
+
+            def body(carry, _):
+                enc, cs, checksum = carry
+                enc = enc.replace(
+                    object_translations=enc.object_translations
+                    + checksum * 1e-12
+                )
+                enc2, cs2 = interactive_step(
+                    playable, v_play, enc, initial_style, cs,
+                    one_hots, variations,
+                )
+                frame = fast.render_frame_fast(
+                    scene, v_env, enc2, (height, width), patch_strides=strides
+                )
+                frame_u8 = (jnp.clip(frame, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+                # Checksum THROUGH the uint8 image so the display conversion
+                # is computed, not dead-code-eliminated.
+                checksum = jnp.sum(frame_u8.astype(jnp.float32)) * 1e-12
+                return (enc2, cs2, checksum), None
+
+            (enc_out, _, checksum), _ = jax.lax.scan(
+                body, (enc1, carries, jnp.zeros(())), length=n
+            )
+            return checksum
+
+        return loop
+
+    loop_iters = max(iters, 8)
+    short, long = make_loop(loop_iters), make_loop(3 * loop_iters)
+    np.asarray(short(variables, playable_vars, encoding))  # compile
+    np.asarray(long(variables, playable_vars, encoding))  # compile
+    step_samples = []
+    for _ in range(BENCH_REPEATS):
+        start = time.perf_counter()
+        np.asarray(short(variables, playable_vars, encoding))
+        t_short = time.perf_counter() - start
+        start = time.perf_counter()
+        np.asarray(long(variables, playable_vars, encoding))
+        t_long = time.perf_counter() - start
+        step_samples.append(
+            max(t_long - t_short, 1e-9) / (2 * loop_iters) * 1e3
         )
+    loop_ms, loop_spread = _median_spread(step_samples)
+
+    # Host fetch of the displayed frame (uint8 HxWx3 = 0.44 MB), the last
+    # leg of the real loop. Two pitfalls on the tunneled bench harness:
+    # (a) jax Arrays cache their numpy value, so re-fetching the same buffer
+    # times a no-op — every sample must fetch a FRESH frame; (b) every
+    # dispatch+fetch pays a fixed ~40 ms RTT a local TPU host does not have.
+    # Per the bench protocol (PERFORMANCE.md: fixed harness costs cancel)
+    # the marginal frame-fetch cost is the DIFFERENCE between fetching the
+    # whole fresh frame and fetching one element of a fresh frame (same
+    # dispatch, same render — only the copied bytes differ). Raw numbers
+    # stay in the unit string.
+    @jax.jit
+    def one_frame_u8(v, enc, shift):
+        enc = enc.replace(
+            object_translations=enc.object_translations + shift * 1e-9
+        )
+        frame = fast.render_frame_fast(
+            scene, v, enc, (height, width), patch_strides=strides
+        )
+        return (jnp.clip(frame, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+
+    @jax.jit
+    def one_pixel_u8(v, enc, shift):
+        return one_frame_u8(v, enc, shift)[0, 0, 0, 0, 0]
+
+    np.asarray(one_frame_u8(variables, encoding, 0.0))  # compile + warm
+    np.asarray(one_pixel_u8(variables, encoding, 0.0))
+
+    def timed_round_trips(fn):
+        samples = []
+        for repeat in range(BENCH_REPEATS):
+            start = time.perf_counter()
+            np.asarray(fn(variables, encoding, float(repeat + 1)))
+            samples.append((time.perf_counter() - start) * 1e3)
+        return _median_spread(samples)[0]
+
+    frame_trip_ms = timed_round_trips(one_frame_u8)
+    pixel_trip_ms = timed_round_trips(one_pixel_u8)
+    fetch_ms = max(frame_trip_ms - pixel_trip_ms, 0.05)
+
+    loop_fps = 1000.0 / (loop_ms + fetch_ms)
+    emit(
+        "interactive_loop_fps_512x288", round(loop_fps, 2),
+        f"frames/s (dynamics+render {loop_ms:.2f} ms + u8 frame fetch "
+        f"{fetch_ms:.2f} ms; raw harness round-trips: frame "
+        f"{frame_trip_ms:.1f} ms, 1px {pixel_trip_ms:.1f} ms)",
+        round(loop_fps / 5.0, 3), loop_spread,
     )
 
 
@@ -349,20 +514,13 @@ def bench_train_step():
 
     trainer, state, batch, (bs, obs, cams) = _phase2_setup()
     iters = int(os.environ.get("BENCH_ITERS", 20))
-    dt = _chained_step_ms(trainer.train_step, state, batch, iters) / 1e3
+    ms, spread = _chained_step_ms(trainer.train_step, state, batch, iters)
+    dt = ms / 1e3
 
     rays_per_step = bs * obs * cams * 144
-    print(
-        json.dumps(
-            {
-                "metric": "phase2_train_step_ms",
-                "value": round(dt * 1e3, 1),
-                "unit": "ms/step",
-                "vs_baseline": round(
-                    rays_per_step / dt / REFERENCE_A100_RAYS_PER_SEC, 2
-                ),
-            }
-        )
+    emit(
+        "phase2_train_step_ms", round(ms, 1), "ms/step",
+        round(rays_per_step / dt / REFERENCE_A100_RAYS_PER_SEC, 2), spread,
     )
 
 
@@ -393,32 +551,25 @@ def bench_phase1_step():
     images = jnp.asarray(rng.random((20, 288, 512, 3), np.float32))
     state = trainer.init_state(jax.random.PRNGKey(0), images)
     iters = int(os.environ.get("BENCH_ITERS", 10))
-    dt = _chained_step_ms(trainer.train_step, state, images, iters) / 1e3
-    print(
-        json.dumps(
-            {
-                "metric": "phase1_train_step_ms",
-                "value": round(dt * 1e3, 1),
-                "unit": "ms/step",
-                "vs_baseline": round((20 / dt) / (20 * 2.0), 2),
-            }
-        )
+    ms, spread = _chained_step_ms(trainer.train_step, state, images, iters)
+    dt = ms / 1e3
+    emit(
+        "phase1_train_step_ms", round(ms, 1), "ms/step",
+        round((20 / dt) / (20 * 2.0), 2), spread,
     )
 
 
-def _phase3_scene():
-    """The published tennis phase-3 wiring: 2 players sharing published
-    animation-model sizes (configs/tennis/playability/100_*.yaml: dynamics
-    2x256 LSTM cells, action net 3x128, 7 actions, 5-dim action space)."""
-    import dataclasses
-
+def _phase3_animation_config():
+    """Published tennis animation-model sizes
+    (configs/tennis/playability/100_*.yaml: dynamics 2x256 LSTM cells,
+    action net 3x128, 7 actions, 5-dim action space)."""
     from playableenvironments_tpu.config import (
         ActionNetworkConfig,
         AnimationModelConfig,
         DynamicsNetworkConfig,
     )
 
-    anim = AnimationModelConfig(
+    return AnimationModelConfig(
         actions_count=7,
         action_space_dimension=5,
         style_features=64,
@@ -433,6 +584,14 @@ def _phase3_scene():
         ),
         action_network=ActionNetworkConfig(layers_width=128, layers_count=3),
     )
+
+
+def _phase3_scene():
+    """The published tennis phase-3 wiring: 2 players sharing the published
+    animation-model sizes."""
+    import dataclasses
+
+    anim = _phase3_animation_config()
     return dataclasses.replace(build_scene(), animation_models=(anim, anim))
 
 
@@ -496,16 +655,11 @@ def bench_phase3_step():
     )
 
     iters = int(os.environ.get("BENCH_ITERS", 30))
-    dt = _chained_step_ms(trainer.fused_step, state, encoding, iters) / 1e3
-    print(
-        json.dumps(
-            {
-                "metric": "phase3_train_step_ms",
-                "value": round(dt * 1e3, 2),
-                "unit": "ms/step",
-                "vs_baseline": round(0.5 / dt, 1),
-            }
-        )
+    ms, spread = _chained_step_ms(trainer.fused_step, state, encoding, iters)
+    dt = ms / 1e3
+    emit(
+        "phase3_train_step_ms", round(ms, 2), "ms/step", round(0.5 / dt, 1),
+        spread,
     )
 
 
@@ -534,29 +688,28 @@ def bench_soak():
 
     # Step time via the two-length-difference protocol (fixed harness costs
     # cancel; see _chained_step_ms).
-    mean_ms = _chained_step_ms(trainer.train_step, state, batch, 10)
+    mean_ms, spread = _chained_step_ms(trainer.train_step, state, batch, 10)
 
     ok = mean_ms <= budget_ms and np.isfinite(losses_np).all()
-    print(
-        json.dumps(
-            {
-                "metric": "phase2_soak_step_ms",
-                "value": round(mean_ms, 1),
-                "unit": f"ms/step over {steps} steps (final loss "
-                        f"{float(losses_np[-1]):.4f}, budget {budget_ms}, "
-                        f"pass={ok})",
-                "vs_baseline": round(
-                    bs * obs * cams * 144 / (mean_ms / 1e3)
-                    / REFERENCE_A100_RAYS_PER_SEC, 2
-                ),
-            }
-        )
+    emit(
+        "phase2_soak_step_ms", round(mean_ms, 1),
+        f"ms/step over {steps} steps (final loss "
+        f"{float(losses_np[-1]):.4f}, budget {budget_ms}, pass={ok})",
+        round(
+            bs * obs * cams * 144 / (mean_ms / 1e3)
+            / REFERENCE_A100_RAYS_PER_SEC, 2
+        ),
+        spread,
     )
     if not ok:
         raise SystemExit(f"soak FAILED: mean {mean_ms:.1f} ms > {budget_ms} ms")
 
 
-def main():
+def bench_render_headline(emit_line=True):
+    """The headline metric: composed-render rays/s/chip at the published
+    tennis scale, measured in ISOLATION (first workload of the process —
+    the round-1 protocol; r2 ran it after four other benches, the prime
+    suspect for the unexplained -8% drift)."""
     import jax
     import jax.numpy as jnp
 
@@ -565,32 +718,6 @@ def main():
         invert_rigid,
     )
     from playableenvironments_tpu.render.composer import SceneComposer
-
-    mode = os.environ.get("BENCH_MODE", "")
-    if mode == "fps":
-        return bench_interactive_fps()
-    if mode == "train":
-        return bench_train_step()
-    if mode == "phase1":
-        return bench_phase1_step()
-    if mode == "phase3":
-        return bench_phase3_step()
-    if mode == "soak":
-        return bench_soak()
-
-    if not mode:
-        # Default invocation (the driver's): every mode, one JSON line each,
-        # the headline rays/s line LAST so the driver's single-line parse
-        # stays on the round-1 metric.
-        for fn in (bench_phase1_step, bench_train_step, bench_phase3_step,
-                   bench_interactive_fps):
-            try:
-                fn()
-            except Exception as error:  # pragma: no cover - keep headline alive
-                print(json.dumps({
-                    "metric": f"{fn.__name__}_error", "value": 0,
-                    "unit": str(error)[:200], "vs_baseline": 0,
-                }))
 
     scene = build_scene()
     composer = SceneComposer(scene)
@@ -663,21 +790,56 @@ def main():
         return out
 
     np.asarray(chained(variables, directions))  # compile + warm
-    start = time.perf_counter()
-    np.asarray(chained(variables, directions))
-    elapsed = time.perf_counter() - start
+    samples = []
+    for _ in range(BENCH_REPEATS):
+        start = time.perf_counter()
+        np.asarray(chained(variables, directions))
+        samples.append(rays * iters / (time.perf_counter() - start))
+    rays_per_sec, spread = _median_spread(samples)
 
-    rays_per_sec = rays * iters / elapsed
-    print(
-        json.dumps(
-            {
-                "metric": "nerf_render_rays_per_sec_per_chip",
-                "value": round(rays_per_sec, 1),
-                "unit": "rays/s",
-                "vs_baseline": round(rays_per_sec / REFERENCE_A100_RAYS_PER_SEC, 3),
-            }
-        )
-    )
+    line = {
+        "metric": "nerf_render_rays_per_sec_per_chip",
+        "value": round(rays_per_sec, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(rays_per_sec / REFERENCE_A100_RAYS_PER_SEC, 3),
+        "spread_pct": spread,
+        "runs": BENCH_REPEATS,
+    }
+    if emit_line:
+        print(json.dumps(line))
+    return line
+
+
+def main():
+    mode = os.environ.get("BENCH_MODE", "")
+    if mode == "fps":
+        return bench_interactive_fps()
+    if mode == "train":
+        return bench_train_step()
+    if mode == "phase1":
+        return bench_phase1_step()
+    if mode == "phase3":
+        return bench_phase3_step()
+    if mode == "soak":
+        return bench_soak()
+    if mode:
+        return bench_render_headline()
+
+    # Default invocation (the driver's): the headline rays/s is measured
+    # FIRST — alone in a cold process state, the round-1 protocol — but its
+    # line prints LAST so the driver's single-line parse stays on the
+    # round-1 metric. Then every mode incl. the soak (r2 verdict items 1+3).
+    headline = bench_render_headline(emit_line=False)
+    for fn in (bench_phase1_step, bench_train_step, bench_phase3_step,
+               bench_interactive_fps, bench_soak):
+        try:
+            fn()
+        except Exception as error:  # pragma: no cover - keep headline alive
+            print(json.dumps({
+                "metric": f"{fn.__name__}_error", "value": 0,
+                "unit": str(error)[:200], "vs_baseline": 0,
+            }))
+    print(json.dumps(headline))
 
 
 if __name__ == "__main__":

@@ -834,7 +834,9 @@ def main():
                bench_interactive_fps, bench_soak):
         try:
             fn()
-        except Exception as error:  # pragma: no cover - keep headline alive
+        # SystemExit included: bench_soak raises it on a budget failure, and
+        # the headline line must still print last for the driver's parse.
+        except (Exception, SystemExit) as error:  # pragma: no cover
             print(json.dumps({
                 "metric": f"{fn.__name__}_error", "value": 0,
                 "unit": str(error)[:200], "vs_baseline": 0,

@@ -125,10 +125,20 @@ def build_training_mesh(cfg: Dict[str, Any], batch_size: int):
                 f"training.mesh data={data} x rays={rays} needs {need} "
                 f"devices, only {len(devices)} available"
             )
-        if batch_size % (data * max(jax.process_count(), 1)) and batch_size % data:
+        if batch_size % data:
             raise ValueError(
                 f"batch_size {batch_size} must divide over the data axis "
                 f"({data}) of the 2D mesh"
+            )
+        processes = max(jax.process_count(), 1)
+        if processes > 1 and data % processes:
+            # Each process contributes whole data-rows: every host feeds
+            # batch_size/processes examples through
+            # make_array_from_process_local_data, which requires its slice
+            # to cover data/processes full shards.
+            raise ValueError(
+                f"2D mesh data axis ({data}) must divide over "
+                f"{processes} processes"
             )
         return create_2d_mesh(devices[:need], data=data), True
 
@@ -337,9 +347,11 @@ def run_synthesis_training(
     is_main = process_index == 0
     mesh, mesh_is_2d = build_training_mesh(cfg, batch_size)
     if mesh_is_2d:
-        samples = int(cfg["training"].get("samples_per_image", 0))
+        # Same default as synthesis_training_config's samples_per_image — an
+        # omitted key must still be validated against the rays axis.
+        samples = int(cfg["training"].get("samples_per_image", 144))
         rays_size = dict(mesh.shape)["rays"]
-        if samples and samples % rays_size:
+        if samples % rays_size:
             raise ValueError(
                 f"training.samples_per_image {samples} must divide over the "
                 f"rays axis ({rays_size}) of the 2D mesh"
@@ -349,6 +361,18 @@ def run_synthesis_training(
     # on the sampled-ray axis) an active sharding constraint; on a 1D mesh
     # it is a no-op and this context changes nothing.
     mesh_context = jax.set_mesh(mesh) if mesh_is_2d else contextlib.nullcontext()
+
+    def eval_context():
+        """Training-time eval runs on process 0 ONLY, so it must never see
+        an ambient mesh that spans other processes: constrain_ray_axis would
+        turn its render into a multi-process computation that only one
+        process dispatches (the same deadlock class as collective saves).
+        A process-local 1D mesh (no rays axis) makes the constraint a no-op."""
+        if mesh_is_2d and process_count > 1:
+            from playableenvironments_tpu.parallel import create_mesh
+
+            return jax.set_mesh(create_mesh(jax.local_devices()[:1]))
+        return contextlib.nullcontext()
 
     def epoch_batches(epoch_seed):
         for host_batch in dataset.iterate_batches(
@@ -455,13 +479,16 @@ def run_synthesis_training(
                             quick_dir, jax.device_get(state), keep=2
                         )
                     if evaluator is not None and step % eval_freq == 0 and is_main:
-                        evaluator.evaluate(
-                            {
-                                "params": jax.device_get(state.params),
-                                "batch_stats": jax.device_get(state.batch_stats),
-                            },
-                            eval_batch, logger, step,
-                        )
+                        with eval_context():
+                            evaluator.evaluate(
+                                {
+                                    "params": jax.device_get(state.params),
+                                    "batch_stats": jax.device_get(
+                                        state.batch_stats
+                                    ),
+                                },
+                                eval_batch, logger, step,
+                            )
                     if step >= train_cfg.max_steps:
                         break
                 epoch += 1

@@ -139,33 +139,35 @@ def main():
     profile = ProfileWindow(t, results_dir, logger.print)
 
     epoch = 0
-    while int(state.step) < train_cfg.max_steps:
-        for images in image_batches(args.seed + epoch):
-            key = jax.random.fold_in(jax.random.PRNGKey(args.seed), int(state.step))
-            profile.before_step(int(state.step))
-            with jax.profiler.StepTraceAnnotation(
-                "train_step", step_num=int(state.step)
-            ):
-                state, metrics = step_fn(state, images, key)
-            profile.after_step(int(state.step), metrics)
-            step = int(state.step)
-            meter.add({k: float(v) for k, v in metrics.items()})
-            if step % log_interval == 0 and is_main:
-                logger.log(meter.pop_all(), step)
-            if (step % save_freq == 0 or step >= train_cfg.max_steps) and is_main:
-                checkpointing.save_checkpoint(
-                    checkpoints_dir, jax.device_get(state)
-                )
-            elif step % quick_save_freq == 0 and is_main:
-                checkpointing.save_checkpoint(
-                    quick_dir, jax.device_get(state), keep=2
-                )
-            if evaluator is not None and step % eval_freq == 0 and is_main:
-                evaluator.evaluate(jax.device_get(state), logger, step)
-            if step >= train_cfg.max_steps:
-                break
-        epoch += 1
-    profile.close()
+    try:
+        while int(state.step) < train_cfg.max_steps:
+            for images in image_batches(args.seed + epoch):
+                key = jax.random.fold_in(jax.random.PRNGKey(args.seed), int(state.step))
+                profile.before_step(int(state.step))
+                with jax.profiler.StepTraceAnnotation(
+                    "train_step", step_num=int(state.step)
+                ):
+                    state, metrics = step_fn(state, images, key)
+                profile.after_step(int(state.step), metrics)
+                step = int(state.step)
+                meter.add({k: float(v) for k, v in metrics.items()})
+                if step % log_interval == 0 and is_main:
+                    logger.log(meter.pop_all(), step)
+                if (step % save_freq == 0 or step >= train_cfg.max_steps) and is_main:
+                    checkpointing.save_checkpoint(
+                        checkpoints_dir, jax.device_get(state)
+                    )
+                elif step % quick_save_freq == 0 and is_main:
+                    checkpointing.save_checkpoint(
+                        quick_dir, jax.device_get(state), keep=2
+                    )
+                if evaluator is not None and step % eval_freq == 0 and is_main:
+                    evaluator.evaluate(jax.device_get(state), logger, step)
+                if step >= train_cfg.max_steps:
+                    break
+            epoch += 1
+    finally:
+        profile.close()
     if is_main:
         checkpointing.save_checkpoint(checkpoints_dir, jax.device_get(state))
     logger.close()

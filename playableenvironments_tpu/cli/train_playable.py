@@ -285,49 +285,51 @@ def main():
             profile.after_step(int(state.step), metrics)
 
     epoch = 0
-    while int(state.step) < train_cfg.max_steps:
-        # Sequence-length annealing is index arithmetic over the cache
-        # (playable_model_trainer.py:537-561 re-indexes the dataset).
-        current_length = train_cfg.observations_count_at(int(state.step))
-        pending = []
-        stop_epoch = False
-        for encoding in cache.iterate_encoding_batches(
-            local_batch, current_length, seed=args.seed + epoch,
-            process_index=process_index, process_count=process_count,
-        ):
-            pending.append(encoding)
-            if len(pending) < steps_per_call:
-                continue
-            # Stack the block (leading step axis) and shard each step's
-            # batch axis (axis 1) over the mesh.
-            stacked = jax.tree.map(lambda *leaves: np.stack(leaves), *pending)
+    try:
+        while int(state.step) < train_cfg.max_steps:
+            # Sequence-length annealing is index arithmetic over the cache
+            # (playable_model_trainer.py:537-561 re-indexes the dataset).
+            current_length = train_cfg.observations_count_at(int(state.step))
             pending = []
-            stacked = shard_batch(stacked, mesh, leading_axes=1)
-            before = int(state.step)
-            key = jax.random.fold_in(jax.random.PRNGKey(args.seed), before)
-            state, metrics = multi_step(state, stacked, key)
-            maybe_profile(before, state, metrics)
-            means = jax.tree.map(lambda v: v.mean(), metrics)
-            meter.add({k: float(v) for k, v in means.items()})
-            step = housekeeping(state, before)
-            if step >= train_cfg.max_steps or (
-                train_cfg.observations_count_at(step) != current_length
+            stop_epoch = False
+            for encoding in cache.iterate_encoding_batches(
+                local_batch, current_length, seed=args.seed + epoch,
+                process_index=process_index, process_count=process_count,
             ):
-                stop_epoch = True
-                break
-        # Epoch remainder (fewer batches than steps_per_call): single steps.
-        for encoding in ([] if stop_epoch else pending):
-            encoding = shard_batch(encoding, mesh)
-            before = int(state.step)
-            key = jax.random.fold_in(jax.random.PRNGKey(args.seed), before)
-            state, metrics = single_step(state, encoding, key)
-            maybe_profile(before, state, metrics)
-            meter.add({k: float(v) for k, v in metrics.items()})
-            step = housekeeping(state, before)
-            if step >= train_cfg.max_steps:
-                break
-        epoch += 1
-    profile.close()
+                pending.append(encoding)
+                if len(pending) < steps_per_call:
+                    continue
+                # Stack the block (leading step axis) and shard each step's
+                # batch axis (axis 1) over the mesh.
+                stacked = jax.tree.map(lambda *leaves: np.stack(leaves), *pending)
+                pending = []
+                stacked = shard_batch(stacked, mesh, leading_axes=1)
+                before = int(state.step)
+                key = jax.random.fold_in(jax.random.PRNGKey(args.seed), before)
+                state, metrics = multi_step(state, stacked, key)
+                maybe_profile(before, state, metrics)
+                means = jax.tree.map(lambda v: v.mean(), metrics)
+                meter.add({k: float(v) for k, v in means.items()})
+                step = housekeeping(state, before)
+                if step >= train_cfg.max_steps or (
+                    train_cfg.observations_count_at(step) != current_length
+                ):
+                    stop_epoch = True
+                    break
+            # Epoch remainder (fewer batches than steps_per_call): single steps.
+            for encoding in ([] if stop_epoch else pending):
+                encoding = shard_batch(encoding, mesh)
+                before = int(state.step)
+                key = jax.random.fold_in(jax.random.PRNGKey(args.seed), before)
+                state, metrics = single_step(state, encoding, key)
+                maybe_profile(before, state, metrics)
+                meter.add({k: float(v) for k, v in metrics.items()})
+                step = housekeeping(state, before)
+                if step >= train_cfg.max_steps:
+                    break
+            epoch += 1
+    finally:
+        profile.close()
     if is_main:
         checkpointing.save_checkpoint(checkpoints_dir, jax.device_get(state))
     logger.close()

@@ -48,7 +48,22 @@ def main():
 
     from playableenvironments_tpu.compat import weight_validation as wv
 
-    any_files = any((args.inception, args.i3d, args.lpips_lins, args.vgg19))
+    any_files = any(
+        (args.inception, args.i3d, args.lpips_lins, args.vgg16, args.vgg19)
+    )
+    if args.vgg16 and not args.lpips_lins:
+        raise SystemExit(
+            "--vgg16 is the LPIPS backbone and is only validated through the "
+            "LPIPS head: pass --lpips_lins with it (for the phase-2 "
+            "perceptual-loss VGG, pass --vgg19)"
+        )
+    if any_files and not (args.goldens or args.write_goldens):
+        raise SystemExit(
+            "real weight files need --write_goldens (first run: record their "
+            "signatures) or --goldens (compare against a recorded file); the "
+            "shipped golden_activations.json only matches the synthetic "
+            "self-check and would always FAIL real weights"
+        )
     variables = {}
     if not any_files:
         print("no weight files given: running the synthetic self-check "

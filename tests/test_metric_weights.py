@@ -250,6 +250,18 @@ def test_validate_cli_over_synthesized_archives(tmp_path):
     run_cli(*file_args, "--goldens", goldens_path)  # must not raise
 
     # These archives are byte-equal to the synthetic self-check's state
-    # dicts, so they must ALSO match the shipped goldens (the file loaders
-    # and the in-memory converters are one code path).
-    run_cli(*file_args)
+    # dicts, so their recorded signatures must equal the shipped goldens
+    # (the file loaders and the in-memory converters are one code path).
+    recorded = json.load(open(goldens_path))
+    from playableenvironments_tpu.compat import weight_validation as wv
+
+    report = wv.compare_signatures(recorded, wv.load_goldens())
+    assert {v["status"] for v in report.values()} == {"PASS"}, report
+
+    # Real weight files WITHOUT --goldens/--write_goldens must error loudly:
+    # comparing them against the shipped synthetic goldens would always FAIL.
+    with pytest.raises(SystemExit, match="write_goldens"):
+        run_cli(*file_args)
+    # --vgg16 alone is the LPIPS backbone, not a standalone check.
+    with pytest.raises(SystemExit, match="lpips"):
+        run_cli("--vgg16", vgg16_path, "--goldens", goldens_path)

@@ -39,6 +39,20 @@ def _median_spread(samples):
     return median, round(spread, 1)
 
 
+def _environment_tag():
+    """jax version + device kind on every line: the r01->r03 headline "drift"
+    decomposed into cross-session environment variance (identical code
+    measured 1.94M rays/s on one day and 1.90M two days later) — invisible
+    until the environment is recorded alongside the number."""
+    import jax
+
+    try:
+        device = jax.devices()[0].device_kind
+    except Exception:  # pragma: no cover - device enumeration never fails
+        device = "unknown"
+    return f"jax {jax.__version__} / {device}"
+
+
 def emit(metric, value, unit, vs_baseline, spread_pct=None):
     line = {
         "metric": metric, "value": value, "unit": unit,
@@ -47,6 +61,7 @@ def emit(metric, value, unit, vs_baseline, spread_pct=None):
     if spread_pct is not None:
         line["spread_pct"] = spread_pct
         line["runs"] = BENCH_REPEATS
+    line["env"] = _environment_tag()
     print(json.dumps(line))
     return line
 
@@ -804,6 +819,7 @@ def bench_render_headline(emit_line=True):
         "vs_baseline": round(rays_per_sec / REFERENCE_A100_RAYS_PER_SEC, 3),
         "spread_pct": spread,
         "runs": BENCH_REPEATS,
+        "env": _environment_tag(),
     }
     if emit_line:
         print(json.dumps(line))

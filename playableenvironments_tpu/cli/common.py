@@ -131,15 +131,35 @@ def build_training_mesh(cfg: Dict[str, Any], batch_size: int):
                 f"({data}) of the 2D mesh"
             )
         processes = max(jax.process_count(), 1)
-        if processes > 1 and data % processes:
-            # Each process contributes whole data-rows: every host feeds
-            # batch_size/processes examples through
-            # make_array_from_process_local_data, which requires its slice
-            # to cover data/processes full shards.
-            raise ValueError(
-                f"2D mesh data axis ({data}) must divide over "
-                f"{processes} processes"
-            )
+        if processes > 1:
+            # Multi-host 2D mesh: data shards across hosts, rays within a
+            # host (the TPU-pod layout — ray collectives ride ICI, the
+            # gradient psum rides DCN). Three structural requirements, all
+            # from `make_array_from_process_local_data`: every device must
+            # belong to the mesh (a prefix subset would orphan whole
+            # processes — they would dispatch programs no mesh device
+            # executes), every mesh row (one data shard spanning `rays`
+            # devices) must stay process-local (jax.devices() orders
+            # devices process-major, so rows are process-local iff `rays`
+            # divides each host's device count), and each process must
+            # contribute whole rows.
+            if need != len(devices):
+                raise ValueError(
+                    f"multi-host 2D mesh must span every device: data={data}"
+                    f" x rays={rays} = {need} != {len(devices)} devices "
+                    f"across {processes} processes"
+                )
+            if len(jax.local_devices()) % rays:
+                raise ValueError(
+                    f"2D mesh rays axis ({rays}) must divide this host's "
+                    f"{len(jax.local_devices())} local devices: mesh rows "
+                    "must stay process-local"
+                )
+            if data % processes:
+                raise ValueError(
+                    f"2D mesh data axis ({data}) must divide over "
+                    f"{processes} processes"
+                )
         return create_2d_mesh(devices[:need], data=data), True
 
     process_count = jax.process_count()
@@ -147,6 +167,18 @@ def build_training_mesh(cfg: Dict[str, Any], batch_size: int):
         if data > len(devices):
             raise ValueError(
                 f"training.mesh data={data} exceeds {len(devices)} devices"
+            )
+        if process_count > 1 and data < len(devices):
+            # A prefix subset can exclude whole processes, which would then
+            # dispatch programs no mesh device executes (hang, not error).
+            raise ValueError(
+                f"training.mesh data={data} must use all {len(devices)} "
+                f"devices in a multi-host run (or be omitted)"
+            )
+        if batch_size % data:
+            raise ValueError(
+                f"batch_size {batch_size} must divide over the data axis "
+                f"({data}) of the mesh"
             )
         return create_mesh(devices[:data]), False
     if process_count > 1:

@@ -159,36 +159,55 @@ def main():
             logger.print(f"loaded encoding cache from {cache_path}")
         except ValueError as stale:
             logger.print(f"{stale}; rebuilding")
-    if cache is None:
-        # Multi-host: only process 0 encodes (the dominant startup cost);
-        # the others wait at a barrier and load the saved npz from the
-        # shared checkpoints filesystem. A host that still can't see the
-        # file after the barrier (non-shared fs) builds its own copy.
-        def _build():
-            encode_fn = jax.jit(
-                lambda b, k: trainer.encode_batch(
-                    {"environment": {"params": env_params, "batch_stats": env_batch_stats}},
-                    b, k,
-                )
-            )
-            return EncodingCache.build(
-                encode_fn, dataset, encode_key,
-                batch_size=int(t.get("encoding_batch_size", 32)),
-                log_fn=logger.print,
-            )
+        except Exception as unreadable:
+            # A non-main process can observe the npz MID-WRITE by process 0
+            # (shared fs, process 0 saving this very run): treat it as
+            # absent and reload after the barrier below. Process 0 writes
+            # the file itself, so for it this is a real error.
+            if jax.process_count() == 1 or jax.process_index() == 0:
+                raise
+            logger.print(f"cache unreadable ({unreadable}); reload after barrier")
+            cache = None
 
-        if jax.process_index() == 0:
+    # Multi-host: only process 0 encodes (the dominant startup cost); the
+    # others wait at a barrier and load the saved npz from the shared
+    # checkpoints filesystem. A host that still can't see the file after
+    # the barrier (non-shared fs) builds its own copy.
+    def _build():
+        encode_fn = jax.jit(
+            lambda b, k: trainer.encode_batch(
+                {"environment": {"params": env_params, "batch_stats": env_batch_stats}},
+                b, k,
+            )
+        )
+        return EncodingCache.build(
+            encode_fn, dataset, encode_key,
+            batch_size=int(t.get("encoding_batch_size", 32)),
+            log_fn=logger.print,
+        )
+
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        if cache is None and jax.process_index() == 0:
             cache = _build()
             cache.save(cache_path, fingerprint=fingerprint)
-        if jax.process_count() > 1:
-            from jax.experimental import multihost_utils
-
-            multihost_utils.sync_global_devices("encoding_cache_built")
-            if cache is None:
-                if os.path.exists(cache_path):
-                    cache = EncodingCache.load(cache_path, fingerprint=fingerprint)
-                else:
-                    cache = _build()
+        # EVERY process reaches this barrier exactly once, whatever its
+        # local view of the cache file was. Gating it on `cache is None`
+        # diverges: a process that loads the file process 0 saved moments
+        # earlier skips the barrier while the builder waits at it, and the
+        # next collective pairs with the barrier — a name-mismatch abort
+        # (sync_global_devices 'encoding_cache_built'), caught by
+        # tests/test_multihost_cli.py::test_two_process_phase3_cli.
+        multihost_utils.sync_global_devices("encoding_cache_ready")
+        if cache is None:
+            if os.path.exists(cache_path):
+                cache = EncodingCache.load(cache_path, fingerprint=fingerprint)
+            else:
+                cache = _build()
+    elif cache is None:
+        cache = _build()
+        cache.save(cache_path, fingerprint=fingerprint)
 
     # Data-parallel mesh (the phase-2 pattern, cli/common.py): batch axis
     # sharded, replicated state, XLA psum over ICI.

@@ -180,8 +180,17 @@ def compare_signatures(
     atol: float = 1e-4,
 ) -> Dict[str, Dict]:
     """Per-embedder verdicts. Tolerances cover CPU-vs-TPU float drift
-    (bf16 matmul accumulation stays f32; residual ~1e-3 relative)."""
+    (bf16 matmul accumulation stays f32; residual ~1e-3 relative).
+
+    Golden entries with no computed counterpart report as MISSING (non-fatal)
+    so a subset run can't read as full coverage: without it, a CLI invocation
+    passing only some weight files against a goldens file recording more
+    embedders would print 'all checks passed' while silently skipping the
+    rest."""
     report = {}
+    for name in golden:
+        if name not in computed:
+            report[name] = {"status": "MISSING"}
     for name, signature in computed.items():
         if name not in golden:
             report[name] = {"status": "NO_GOLDEN"}

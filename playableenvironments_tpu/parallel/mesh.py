@@ -115,9 +115,23 @@ def replicate(tree: Any, mesh: Mesh) -> Any:
     buffers with ZERO collectives. `jax.device_put` would instead run a
     cross-host `assert_equal` allgather PER LEAF — thousands of DCN
     collectives on a pod, and the first one establishes the Gloo/ICI context,
-    deadlining (30 s) when processes reach it skewed by compile time."""
+    deadlining (30 s) when processes reach it skewed by compile time.
+
+    That zero-collective assembly trusts the "identical copy" premise; a
+    divergence (seed plumbing bug, divergent restore, a leaf derived from the
+    process-local batch) would silently train with inconsistent parameters.
+    `PE_VERIFY_REPLICATION=1` buys the check back for ONE collective total
+    (not per leaf): a crc32 fingerprint of every leaf's bytes, allgathered
+    and compared across processes."""
+    import os
+
     sharding = replicated(mesh)
     if jax.process_count() > 1:
+        if os.environ.get("PE_VERIFY_REPLICATION", "").strip() in (
+            "1", "true", "yes",
+        ):
+            verify_replication(tree)
+
         def place(x):
             x = np.asarray(x)
             return jax.make_array_from_callback(
@@ -128,6 +142,30 @@ def replicate(tree: Any, mesh: Mesh) -> Any:
             return jax.device_put(x, sharding)
 
     return jax.tree.map(place, tree)
+
+
+def verify_replication(tree: Any) -> None:
+    """Assert every process holds bytewise-identical leaves, with exactly one
+    cross-process collective (a 1-scalar allgather of a combined crc32)."""
+    import zlib
+
+    from jax.experimental import multihost_utils
+
+    fingerprint = 0
+    for index, leaf in enumerate(jax.tree.leaves(tree)):
+        data = np.ascontiguousarray(np.asarray(leaf))
+        # Mix the leaf index in so swapped leaves can't cancel.
+        fingerprint = zlib.crc32(
+            data.tobytes(), fingerprint ^ (index * 0x9E3779B1 & 0xFFFFFFFF)
+        )
+    gathered = multihost_utils.process_allgather(
+        np.asarray(fingerprint, dtype=np.uint32)
+    )
+    if not (gathered == gathered[0]).all():
+        raise ValueError(
+            "replicate(): state differs across processes — per-process "
+            f"fingerprints {gathered.tolist()} (PE_VERIFY_REPLICATION)"
+        )
 
 
 RAYS_AXIS = "rays"

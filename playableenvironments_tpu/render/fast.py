@@ -584,6 +584,19 @@ def _render_rays_fast_sharded(
         and batch % axis_sizes[DATA_AXIS] == 0
         else None
     )
+    if data_axis is None and axis_sizes.get(DATA_AXIS, 1) > 1:
+        # The batch can't shard over the configured data axis, so it is
+        # REPLICATED on every data row — a data-size multiplier of wasted
+        # compute. Say so rather than silently eating the configured axis.
+        import warnings
+
+        warnings.warn(
+            f"render_rays_fast_sharded: batch {batch} does not divide the "
+            f"mesh data axis ({axis_sizes[DATA_AXIS]}); the batch is "
+            "replicated on every data row (wasted compute). Size the eval "
+            "batch to the data axis or set evaluation.mesh data: 1.",
+            stacklevel=2,
+        )
 
     rays = ray_directions.shape[-2]
     pad = (-rays) % rays_size

@@ -1,15 +1,17 @@
-"""Per-process launcher for the multi-host CLI test (test_multihost_cli.py).
+"""Per-process launcher for the multi-host CLI tests (test_multihost_cli.py).
 
 Usage: python multihost_launcher.py <coordinator> <process_id> <num_processes>
-       <config_path>
+       <cli_module> <devices_per_process> [cli args...]
 
 Initializes jax.distributed explicitly (the CPU-mesh stand-in for a TPU-pod
-DCN launch), then runs the REAL phase-2 training CLI in-process.
-`maybe_initialize_distributed` in the CLI is a no-op here (no PE_MULTIHOST /
-coordinator env vars are set) so the pre-initialized runtime stands.
+DCN launch), then runs a REAL training CLI in-process (phase 1/2/3 — the
+module name is an argument). `maybe_initialize_distributed` in the CLI is a
+no-op here (no PE_MULTIHOST / coordinator env vars are set) so the
+pre-initialized runtime stands.
 """
 
 import faulthandler
+import importlib
 import os
 import signal
 import sys
@@ -18,14 +20,24 @@ faulthandler.register(signal.SIGUSR1)  # kill -USR1 <pid> dumps all stacks
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import jax
+coordinator, process_id, num_processes, cli_module, devices = sys.argv[1:6]
+cli_args = sys.argv[6:]
+
+# Per-process local device count must be pinned BEFORE the backend
+# initializes (the 2D-mesh test needs >1 device per process).
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + f" --xla_force_host_platform_device_count={devices}"
+    ).strip()
+
+import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 os.makedirs("/tmp/jax_test_cache", exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-coordinator, process_id, num_processes, config_path = sys.argv[1:5]
 jax.distributed.initialize(
     coordinator_address=coordinator,
     num_processes=int(num_processes),
@@ -39,8 +51,9 @@ from playableenvironments_tpu.parallel.mesh import warmup_collectives  # noqa: E
 
 warmup_collectives()
 
-from playableenvironments_tpu.cli.train import main  # noqa: E402
-
-sys.argv = ["train", "--config", config_path]
+main = importlib.import_module(
+    f"playableenvironments_tpu.cli.{cli_module}"
+).main
+sys.argv = [cli_module] + cli_args
 main()
 print(f"process {process_id} finished OK", flush=True)

@@ -98,6 +98,25 @@ def test_frame_renderer_rays_mesh_padding(renderer_setup):
     np.testing.assert_allclose(frames_sharded, frames_base, atol=1e-5)
 
 
+def test_frame_renderer_warns_on_replicated_batch(renderer_setup):
+    """A batch that can't shard over the configured data axis is silently
+    replicated on every data row — a data-size compute multiplier. It must
+    warn (round-3 advisor finding), and values must still be correct."""
+    from playableenvironments_tpu.eval.creators import FrameRenderer
+    from playableenvironments_tpu.parallel import create_2d_mesh
+
+    model, variables, batch = renderer_setup
+    mesh = create_2d_mesh(jax.devices(), data=4)  # batch 2 % data 4 != 0
+
+    base = FrameRenderer(model, variables, image_size=(16, 24))
+    sharded = FrameRenderer(model, variables, image_size=(16, 24), mesh=mesh)
+    encoding = base.encode(batch)
+    frames_base = np.asarray(base.render(encoding))
+    with pytest.warns(UserWarning, match="replicated"):
+        frames_sharded = np.asarray(sharded.render(encoding))
+    np.testing.assert_allclose(frames_sharded, frames_base, atol=1e-5)
+
+
 def test_creator_on_rays_mesh(renderer_setup, tmp_path):
     """The dataset creator (the consumer the knob exists for) produces an
     identical mirror tree when rendering over the 2D mesh."""
@@ -201,3 +220,65 @@ def test_build_training_mesh_validation():
         build_training_mesh(
             {"training": {"mesh": {"data": 4, "rays": 2}}}, batch_size=3
         )
+    # Single-host 1D data mesh must divide the batch (clear config error
+    # instead of an obscure uneven-sharding failure in shard_batch).
+    with pytest.raises(ValueError, match="divide"):
+        build_training_mesh({"training": {"mesh": {"data": 4}}}, batch_size=3)
+
+
+def test_build_training_mesh_multiprocess_validation(monkeypatch):
+    """Multi-host mesh structure rules (round-3 advisor medium finding): a
+    2-process x 4-device run with a config that passes the old validation
+    ({data:2, rays:2} on 8 devices) would place every mesh device on process
+    0 and hang process 1 at runtime — it must be a config-time error."""
+    import jax
+
+    from playableenvironments_tpu.cli.common import build_training_mesh
+
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    # Pretend this is one host of two, holding the first 4 of 8 devices.
+    monkeypatch.setattr(jax, "local_devices", lambda: jax.devices()[:4])
+
+    # The TPU-pod layout: data across hosts x rays within a host.
+    mesh, is_2d = build_training_mesh(
+        {"training": {"mesh": {"data": 2, "rays": 4}}}, batch_size=4
+    )
+    assert is_2d and dict(mesh.shape) == {"data": 2, "rays": 4}
+    # Whole process rows also work with more data rows per host.
+    mesh, is_2d = build_training_mesh(
+        {"training": {"mesh": {"data": 4, "rays": 2}}}, batch_size=4
+    )
+    assert is_2d and dict(mesh.shape) == {"data": 4, "rays": 2}
+
+    # Prefix-subset meshes orphan processes: loud error, not a hang.
+    with pytest.raises(ValueError, match="span every device"):
+        build_training_mesh(
+            {"training": {"mesh": {"data": 2, "rays": 2}}}, batch_size=4
+        )
+    # Mesh rows must stay process-local: rays must divide local devices.
+    monkeypatch.setattr(jax, "local_devices", lambda: jax.devices()[:3])
+    with pytest.raises(ValueError, match="process-local"):
+        build_training_mesh(
+            {"training": {"mesh": {"data": 1, "rays": 8}}}, batch_size=4
+        )
+    # data axis must divide over processes (rows process-local here: pretend
+    # a host that holds all 8 devices of the row).
+    monkeypatch.setattr(jax, "local_devices", lambda: jax.devices()[:8])
+    with pytest.raises(ValueError, match="processes"):
+        build_training_mesh(
+            {"training": {"mesh": {"data": 1, "rays": 8}}}, batch_size=4
+        )
+    monkeypatch.setattr(jax, "local_devices", lambda: jax.devices()[:4])
+    # 1D explicit data < devices can exclude whole processes: loud error.
+    with pytest.raises(ValueError, match="all 8 devices"):
+        build_training_mesh({"training": {"mesh": {"data": 4}}}, batch_size=4)
+
+
+def test_verify_replication_single_process():
+    """The PE_VERIFY_REPLICATION fingerprint path runs (single-process it
+    degenerates to a 1-element gather that always agrees)."""
+    import jax.numpy as jnp
+
+    from playableenvironments_tpu.parallel.mesh import verify_replication
+
+    verify_replication({"w": jnp.ones((4, 4)), "b": jnp.zeros((4,))})

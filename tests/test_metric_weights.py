@@ -174,6 +174,21 @@ def test_synthetic_self_check_passes_shipped_goldens():
     assert {v["status"] for v in report.values()} == {"PASS"}, report
 
 
+def test_partial_coverage_reports_missing():
+    """Golden entries with no computed counterpart surface as MISSING
+    (round-3 advisor: a subset run must not read as full validation)."""
+    from playableenvironments_tpu.compat import weight_validation as wv
+
+    golden = wv.load_goldens()
+    subset = {"vgg19": wv.synthetic_variables()["vgg19"]}
+    report = wv.compare_signatures(wv.compute_signatures(subset), golden)
+    assert report["vgg19"]["status"] == "PASS"
+    uncovered = set(golden) - {"vgg19"}
+    assert uncovered and all(
+        report[name]["status"] == "MISSING" for name in uncovered
+    )
+
+
 def test_perturbed_weights_fail_goldens():
     """A single perturbed conv kernel must flip the verdict — the check has
     actual discriminating power."""

@@ -1,15 +1,19 @@
 """Multi-host training as an EXECUTED property, not a design argument.
 
-Launches 2 real `jax.distributed` CPU processes (1 device each, Gloo
-collectives) through the actual phase-2 CLI with the exact configuration the
-round-1 advisor's deadlock lived in (eval + quick saves mid-run on process 0
-only): both processes must exit 0 and checkpoints must exist. Replaces the
-reference's only distributed code path (vendored torchvision
-evaluation/detection/utils.py:273-294) with the jax.distributed equivalent.
+Launches 2 real `jax.distributed` CPU processes (Gloo collectives) through
+the actual training CLIs — ALL THREE PHASES (round-3 verdict item 4) plus a
+2-process x 2-device 2D (data, rays) mesh run (item 6) — with the exact
+configuration the round-1 advisor's deadlock lived in (eval + quick saves
+mid-run on process 0 only): both processes must exit 0 and checkpoints must
+exist. Replaces the reference's only distributed code path (vendored
+torchvision evaluation/detection/utils.py:273-294) with the jax.distributed
+equivalent.
 
-One device per process: with 4 virtual devices each (8 Gloo ranks) the
-per-step gradient all-reduces took ~2 min/step on CPU; 2 ranks keeps the
-test inside CI budgets while still executing every multi-process branch.
+One device per process by default: with 4 virtual devices each (8 Gloo
+ranks) the per-step gradient all-reduces took ~2 min/step on CPU; 2 ranks
+keeps the test inside CI budgets while still executing every multi-process
+branch. The 2D-mesh test uses 2 devices per process (4 ranks) — the minimum
+that makes `rays` a real mesh axis spanning hosts' local devices.
 """
 
 import os
@@ -17,6 +21,7 @@ import socket
 import subprocess
 import sys
 
+import pytest
 import yaml
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -28,39 +33,38 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_phase2_cli(tmp_path):
-    from playableenvironments_tpu.data.synthetic import make_synthetic_dataset
-
-    data_root = os.path.join(tmp_path, "data")
-    make_synthetic_dataset(data_root, videos=1, frames=10, height=16, width=24)
-
+def _base_config(tmp_path, data_root):
     cfg = yaml.safe_load(
         open(os.path.join(REPO, "configs", "synthetic_smoke.yaml"))
     )
     cfg["data"]["data_root"] = data_root
     cfg["logging"]["output_root"] = os.path.join(tmp_path, "results")
     cfg["logging"]["checkpoints_root"] = os.path.join(tmp_path, "checkpoints")
-    # The advisor-deadlock configuration: saves and evals fire MID-RUN while
-    # only process 0 writes (cli/common.py's device_get-then-write rule).
-    cfg["training"]["max_steps"] = 4
-    cfg["training"]["save_freq"] = 4
-    cfg["training"]["quick_save_freq"] = 2
-    cfg["training"]["eval_freq"] = 2
-    cfg["training"]["log_interval_steps"] = 2
-    cfg["training"]["batching"]["batch_size"] = 2  # 2 global devices
-    config_path = os.path.join(tmp_path, "multihost.yaml")
-    yaml.safe_dump(cfg, open(config_path, "w"))
+    return cfg
 
+
+def _launch(tmp_path, cli_module, cli_args, devices_per_process=1,
+            extra_env=None):
+    """Run 2 coordinated jax.distributed processes through a real CLI;
+    assert both exit 0."""
     port = _free_port()
     env = {
         **os.environ,
-        "XLA_FLAGS": "--xla_force_host_platform_device_count=1",
+        # Override conftest's 8-device flag: each PROCESS gets this many.
+        "XLA_FLAGS": (
+            f"--xla_force_host_platform_device_count={devices_per_process}"
+        ),
+        # Verify the zero-collective replicate() premise for real while we
+        # have actual multi-process state (advisor finding: divergence would
+        # otherwise be silent).
+        "PE_VERIFY_REPLICATION": "1",
+        **(extra_env or {}),
     }
     launcher = os.path.join(REPO, "tests", "multihost_launcher.py")
     procs = [
         subprocess.Popen(
             [sys.executable, launcher, f"localhost:{port}", str(pid), "2",
-             config_path],
+             cli_module, str(devices_per_process)] + list(cli_args),
             env=env,
             cwd=tmp_path,
             stdout=subprocess.PIPE,
@@ -82,6 +86,32 @@ def test_two_process_phase2_cli(tmp_path):
         assert proc.returncode == 0, (
             f"process {pid} exited {proc.returncode}:\n{out[-4000:]}"
         )
+    return outputs
+
+
+@pytest.fixture()
+def data_root(tmp_path):
+    from playableenvironments_tpu.data.synthetic import make_synthetic_dataset
+
+    root = os.path.join(tmp_path, "data")
+    make_synthetic_dataset(root, videos=1, frames=10, height=16, width=24)
+    return root
+
+
+def test_two_process_phase2_cli(tmp_path, data_root):
+    cfg = _base_config(tmp_path, data_root)
+    # The advisor-deadlock configuration: saves and evals fire MID-RUN while
+    # only process 0 writes (cli/common.py's device_get-then-write rule).
+    cfg["training"]["max_steps"] = 4
+    cfg["training"]["save_freq"] = 4
+    cfg["training"]["quick_save_freq"] = 2
+    cfg["training"]["eval_freq"] = 2
+    cfg["training"]["log_interval_steps"] = 2
+    cfg["training"]["batching"]["batch_size"] = 2  # 2 global devices
+    config_path = os.path.join(tmp_path, "multihost.yaml")
+    yaml.safe_dump(cfg, open(config_path, "w"))
+
+    _launch(tmp_path, "train", ["--config", config_path])
 
     from playableenvironments_tpu.train.checkpointing import latest_checkpoint
 
@@ -94,3 +124,110 @@ def test_two_process_phase2_cli(tmp_path):
         cfg["logging"]["output_root"], "synthetic_smoke", "images"
     )
     assert os.path.isdir(eval_strip) and os.listdir(eval_strip)
+
+
+def test_two_process_phase2_2d_mesh_cli(tmp_path, data_root):
+    """SP x multi-host (round-3 verdict item 6): a GLOBAL (data, rays) mesh —
+    data across the 2 processes, rays over each process's 2 local devices —
+    through the real phase-2 CLI, with a mid-run training-time eval on
+    process 0 (which must drop to a process-local mesh, cli/common.py's
+    eval_context, instead of deadlocking)."""
+    cfg = _base_config(tmp_path, data_root)
+    cfg["training"]["max_steps"] = 2
+    cfg["training"]["save_freq"] = 2
+    cfg["training"]["eval_freq"] = 1
+    cfg["training"]["log_interval_steps"] = 1
+    cfg["training"]["batching"]["batch_size"] = 2
+    cfg["training"]["mesh"] = {"data": 2, "rays": 2}
+    config_path = os.path.join(tmp_path, "multihost_2d.yaml")
+    yaml.safe_dump(cfg, open(config_path, "w"))
+
+    _launch(
+        tmp_path, "train", ["--config", config_path], devices_per_process=2
+    )
+
+    from playableenvironments_tpu.train.checkpointing import latest_checkpoint
+
+    ckpt_root = os.path.join(cfg["logging"]["checkpoints_root"], "synthetic_smoke")
+    assert latest_checkpoint(ckpt_root) is not None
+    eval_strip = os.path.join(
+        cfg["logging"]["output_root"], "synthetic_smoke", "images"
+    )
+    assert os.path.isdir(eval_strip) and os.listdir(eval_strip)
+
+
+def test_two_process_phase1_cli(tmp_path, data_root):
+    """Phase-1 (VAE) CLI as a real 2-process program, with the mid-run
+    quick-save + eval branches active (the deadlock classes fixed for
+    phase 2 in round 3 were never executed here before)."""
+    cfg = _base_config(tmp_path, data_root)
+    cfg["model"]["autoencoder"] = {
+        "input_features": 3,
+        "bottleneck_features": 8,
+        "bottleneck_blocks": 1,
+        "downsampling_layers_count": [1, 1],
+    }
+    cfg["logging"]["run_name"] = "smoke_ae"
+    cfg["autoencoder_training"] = {
+        "learning_rate": 0.0004,
+        "max_steps": 4,
+        "batch_size": 2,  # 2 global devices
+        "save_freq": 4,
+        "quick_save_freq": 2,
+        "log_interval_steps": 2,
+        "eval_freq": 2,
+        "loss_weights": {"KL_loss_lambda": 0.000005},
+    }
+    config_path = os.path.join(tmp_path, "multihost_ae.yaml")
+    yaml.safe_dump(cfg, open(config_path, "w"))
+
+    _launch(tmp_path, "train_autoencoder", ["--config", config_path])
+
+    from playableenvironments_tpu.train.checkpointing import latest_checkpoint
+
+    ckpt_root = os.path.join(cfg["logging"]["checkpoints_root"], "smoke_ae")
+    assert latest_checkpoint(ckpt_root) is not None
+    assert latest_checkpoint(os.path.join(ckpt_root, "quick")) is not None
+
+
+def test_two_process_phase3_cli(tmp_path, data_root):
+    """Phase-3 CLI as a real 2-process program: covers the encoding-cache
+    build on process 0 + `sync_global_devices` + load-on-process-1 path and
+    the fused-step mesh dispatch (never executed multi-process before)."""
+    cfg = _base_config(tmp_path, data_root)
+    cfg["training"]["max_steps"] = 2
+    cfg["training"]["save_freq"] = 2
+    cfg["playable_model_training"]["max_steps"] = 4
+    cfg["playable_model_training"]["save_freq"] = 4
+    cfg["playable_model_training"]["quick_save_freq"] = 2
+    cfg["playable_model_training"]["log_interval_steps"] = 2
+    cfg["playable_model_training"]["batching"]["batch_size"] = 2
+    config_path = os.path.join(tmp_path, "multihost_p3.yaml")
+    yaml.safe_dump(cfg, open(config_path, "w"))
+
+    # A phase-2 checkpoint to freeze: produced in-process, single-host (the
+    # subject under test is phase 3's multi-process path, not phase 2's).
+    argv = sys.argv
+    sys.argv = ["train", "--config", config_path]
+    try:
+        from playableenvironments_tpu.cli.train import main
+
+        main()
+    finally:
+        sys.argv = argv
+    from playableenvironments_tpu.train.checkpointing import latest_checkpoint
+
+    ckpt_root = os.path.join(cfg["logging"]["checkpoints_root"], "synthetic_smoke")
+    env_ckpt = latest_checkpoint(ckpt_root)
+    assert env_ckpt is not None
+
+    _launch(
+        tmp_path, "train_playable",
+        ["--config", config_path, "--environment_checkpoint", env_ckpt],
+    )
+
+    playable_root = os.path.join(ckpt_root, "playable")
+    assert latest_checkpoint(playable_root) is not None
+    # The encoding cache was built by process 0 and persisted (process 1
+    # loaded it after the barrier).
+    assert os.path.isfile(os.path.join(playable_root, "encoding_cache.npz"))

@@ -370,6 +370,39 @@ def convert_camera_offsets(
     return {"storage": np.ascontiguousarray(table.transpose(1, 0, 2))}
 
 
+def convert_object_composer(
+    state: Mapping[str, np.ndarray], scene, prefix: str = "object_composer."
+) -> Tuple[Dict, Dict]:
+    """ObjectComposer subtree of a reference state_dict -> (params, stats)
+    for render.composer.SceneComposer, keyed object_model_{i}.
+
+    Reference layout (object_composer.py:26-29): one coarse module per object
+    model at object_models_coarse.{i} with nerf_model + ray_bender children.
+    Published configs all run use_fine=False, so fine modules are not mapped.
+    """
+    params: Dict = {}
+    stats: Dict = {}
+    for i, om in enumerate(scene.object_models):
+        p = f"{prefix}object_models_coarse.{i}."
+        entry_p: Dict = {}
+        entry_s: Dict = {}
+        if om.nerf.kind == "skybox":
+            entry_p["nerf"], entry_s["nerf"] = convert_skybox_nerf(
+                state, p + "nerf_model.", om.nerf.backbone_layers_count
+            )
+        else:
+            entry_p["nerf"], entry_s["nerf"] = convert_adain_nerf(
+                state, p + "nerf_model.", om.nerf.backbone_layers_count
+            )
+        if om.bender.kind == "positional":
+            entry_p["ray_bender"] = convert_positional_ray_bender(
+                state, p + "ray_bender.", om.bender.layers_count
+            )
+        params[f"object_model_{i}"] = entry_p
+        stats[f"object_model_{i}"] = entry_s
+    return params, stats
+
+
 def convert_environment_model(
     state: Mapping[str, np.ndarray], scene, cameras_count: int = 1
 ) -> Tuple[Dict, Dict]:
@@ -385,27 +418,9 @@ def convert_environment_model(
     :param scene: config.SceneConfig describing the checkpoint's architecture.
     :return: (params, batch_stats) trees matching EnvironmentModel.init's.
     """
-    params: Dict = {"composer": {}}
-    stats: Dict = {"composer": {}}
-
-    for i, om in enumerate(scene.object_models):
-        prefix = f"object_composer.object_models_coarse.{i}."
-        entry_p: Dict = {}
-        entry_s: Dict = {}
-        if om.nerf.kind == "skybox":
-            entry_p["nerf"], entry_s["nerf"] = convert_skybox_nerf(
-                state, prefix + "nerf_model.", om.nerf.backbone_layers_count
-            )
-        else:
-            entry_p["nerf"], entry_s["nerf"] = convert_adain_nerf(
-                state, prefix + "nerf_model.", om.nerf.backbone_layers_count
-            )
-        if om.bender.kind == "positional":
-            entry_p["ray_bender"] = convert_positional_ray_bender(
-                state, prefix + "ray_bender.", om.bender.layers_count
-            )
-        params["composer"][f"object_model_{i}"] = entry_p
-        stats["composer"][f"object_model_{i}"] = entry_s
+    composer_p, composer_s = convert_object_composer(state, scene)
+    params: Dict = {"composer": composer_p}
+    stats: Dict = {"composer": composer_s}
 
     for i, oe in enumerate(scene.object_encoders):
         convert = (

@@ -137,22 +137,32 @@ def overlap_fix_mask(
     static_t: jnp.ndarray, dynamic_t: jnp.ndarray
 ) -> jnp.ndarray:
     """True where a static object's samples fall inside a dynamic object's
-    sampled t interval [min, max].
+    sampled t interval.
 
     TPU-native redesign of object_composer.py:295-397 (`fix_object_overlap`):
     the reference round-trips through a host CPU loop building the interval
-    mask via searchsorted indices; here the same semantics — positions between
-    the dynamic object's first and last sample are suppressed — is a dense
+    mask via searchsorted indices; here the same semantics is a dense
     elementwise comparison, which is exactly what the host loop's
     searchsorted(begin)/searchsorted(end) interval expands to for sorted
     static_t.
+
+    Reference-compatibility quirk, replicated deliberately: the reference
+    indexes the DYNAMIC object's t array with the STATIC object's
+    positions_count - 1 (object_composer.py:318-322 — `positions_count =
+    raw_alphas.size(1)` is the static tensor's), so when the counts differ
+    (every published minecraft config: background 4 vs players 32) the
+    suppressed interval ends at dynamic_t[static_positions - 1], NOT at the
+    dynamic object's true last sample. Checkpoints trained under that
+    behavior must render identically here (bit-parity north star;
+    oracle-tested in tests/test_reference_parity.py).
 
     :param static_t: (..., positions) static object's sorted t values.
     :param dynamic_t: (..., dyn_positions) dynamic object's t values.
     :return: (..., positions) boolean, True = suppress this sample.
     """
+    hi_idx = min(static_t.shape[-1], dynamic_t.shape[-1]) - 1
     lo = dynamic_t[..., :1]
-    hi = dynamic_t[..., -1:]
+    hi = dynamic_t[..., hi_idx : hi_idx + 1]
     # searchsorted with side='left' on sorted static_t marks indices in
     # [ss(lo), ss(hi)) — equivalently samples with lo <= t < hi.
     return jnp.logical_and(static_t >= lo, static_t < hi)

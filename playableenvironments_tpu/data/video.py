@@ -18,6 +18,7 @@ from __future__ import annotations
 import io
 import os
 import pickle
+import sys
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -81,13 +82,30 @@ def _load_pickle(path: str):
         return _CompatUnpickler(f).load()
 
 
+class _CompatPickler(pickle.Pickler):
+    """When the REAL reference checkout is on sys.path and imported, the
+    genuine utils.lib_3d.pose_parameters module occupies the pickle path and
+    our shim class is "not the same object" under pickle's save-global
+    identity check. Re-target shim instances to the loaded reference class
+    (same constructor signature, pose_parameters.py:115-130) so the written
+    bytes keep the reference module path either way."""
+
+    def reducer_override(self, obj):
+        if type(obj) is PoseParametersNumpy:
+            real = sys.modules.get("utils.lib_3d.pose_parameters")
+            target = getattr(real, "PoseParametersNumpy", PoseParametersNumpy)
+            if target is not PoseParametersNumpy:
+                return (target, (obj.rotation, obj.translation))
+        return NotImplemented
+
+
 def _save_pickle(obj, path: str):
     # Install the reference-path module shims lazily: pickle looks classes up
     # by module path at DUMP time, and installing at import time would shadow
     # an importable reference checkout (tests import both).
     _register_compat_modules()
     with open(path, "wb") as f:
-        pickle.dump(obj, f)
+        _CompatPickler(f).dump(obj)
 
 
 def _frame_name(idx: int) -> str:

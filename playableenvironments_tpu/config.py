@@ -119,6 +119,8 @@ class ParameterEncoderConfig:
     # Crop-box expansion (rows up, cols sideways; object_encoder_v4.py:61-78).
     expansion_rows: float = 0.0
     expansion_cols: float = 0.0
+    # "bilinear" or "roi_pool" (reference-exact; object_parameters_encoder_v4.py:145).
+    crop_mode: str = "bilinear"
 
 
 @dataclass(frozen=True)
@@ -133,6 +135,11 @@ class ObjectEncoderConfig:
     # Crop-box expansion (rows up, cols sideways; object_encoder_v4.py:61-78).
     expansion_rows: float = 0.0
     expansion_cols: float = 0.0
+    # "bilinear" (default: smooth, differentiable crop-resize) or "roi_pool"
+    # (exact torchvision.ops.roi_pool semantics — required for bit-parity
+    # with imported reference checkpoints, whose encoders trained on
+    # quantized max-pooled crops; object_encoder_v4.py:130).
+    crop_mode: str = "bilinear"
 
 
 @dataclass(frozen=True)

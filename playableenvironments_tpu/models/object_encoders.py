@@ -3,7 +3,9 @@
 Replaces model/object_encoder_v4.py (dynamic objects: camera-conditioned,
 attention-masked) and model/object_encoder_v5.py (backgrounds: deeper, no
 camera conditioning). Crops come from `ops.crop_and_resize` (bilinear,
-static-shape) instead of torchvision roi_pool. Layout is NHWC.
+static-shape) by default, or `ops.roi_pool` (the exact torchvision twin) when
+`crop_mode: roi_pool` — checkpoint imports need the reference's quantized
+max-pool semantics. Layout is NHWC.
 """
 
 from __future__ import annotations
@@ -15,7 +17,19 @@ import jax.numpy as jnp
 
 from playableenvironments_tpu.config import ObjectEncoderConfig
 from playableenvironments_tpu.models.layers import ResidualBlock, avg_pool
-from playableenvironments_tpu.ops.roi_crop import crop_and_resize, expand_boxes
+from playableenvironments_tpu.ops.roi_crop import (
+    crop_and_resize,
+    expand_boxes,
+    roi_pool,
+)
+
+
+def _crop(cfg: ObjectEncoderConfig, observations, pixel_boxes, out_size):
+    """Fixed-size crop under the configured semantics: bilinear (default) or
+    the reference-exact torchvision roi_pool twin (crop_mode, config.py)."""
+    if cfg.crop_mode == "roi_pool":
+        return roi_pool(observations, pixel_boxes, out_size)
+    return crop_and_resize(observations, pixel_boxes, out_size)
 
 
 class ObjectEncoderV4(nn.Module):
@@ -51,7 +65,7 @@ class ObjectEncoderV4(nn.Module):
         pixel_boxes = boxes * jnp.asarray(
             [width, height, width, height], boxes.dtype
         )
-        crops = crop_and_resize(observations, pixel_boxes, (in_h, in_w))
+        crops = _crop(self.cfg, observations, pixel_boxes, (in_h, in_w))
 
         # Broadcast camera pose over the crop spatial dims as extra channels
         # (object_encoder_v4.py:136-141).
@@ -112,7 +126,7 @@ class ObjectEncoderV5(nn.Module):
         pixel_boxes = boxes * jnp.asarray(
             [width, height, width, height], boxes.dtype
         )
-        crops = crop_and_resize(observations, pixel_boxes, (in_h, in_w))
+        crops = _crop(self.cfg, observations, pixel_boxes, (in_h, in_w))
 
         x = nn.Conv(
             64, (7, 7), strides=(2, 2), padding=3, use_bias=False, name="conv1"

@@ -26,7 +26,11 @@ from playableenvironments_tpu.config import ParameterEncoderConfig
 from playableenvironments_tpu.core.rays import transform_points
 from playableenvironments_tpu.core.transforms3d import invert_rigid
 from playableenvironments_tpu.models.layers import ResidualBlock, avg_pool
-from playableenvironments_tpu.ops.roi_crop import crop_and_resize, expand_boxes
+from playableenvironments_tpu.ops.roi_crop import (
+    crop_and_resize,
+    expand_boxes,
+    roi_pool,
+)
 
 
 def static_object_poses(
@@ -175,7 +179,8 @@ class ObjectParametersEncoderV4(nn.Module):
         pixel_boxes = boxes * jnp.asarray([width, height, width, height], boxes.dtype)
         flat_boxes = pixel_boxes.reshape(-1, 4)
         flat_images = jnp.repeat(observations, objects_count, axis=0)
-        crops = crop_and_resize(flat_images, flat_boxes, (in_h, in_w))
+        crop = roi_pool if self.cfg.crop_mode == "roi_pool" else crop_and_resize
+        crops = crop(flat_images, flat_boxes, (in_h, in_w))
 
         # Reference CNN widths (object_parameters_encoder_v4.py:47-66) so
         # reference checkpoints convert 1:1 (compat.torch_import).

@@ -66,6 +66,14 @@ def cpu_reference(monkeypatch):
     )
     if not hasattr(np, "bool"):
         monkeypatch.setattr(np, "bool", bool, raising=False)
+    import collections
+    import collections.abc
+
+    if not hasattr(collections, "Sequence"):  # removed in py3.10
+        # (ray_helper.py:452 isinstance check)
+        monkeypatch.setattr(
+            collections, "Sequence", collections.abc.Sequence, raising=False
+        )
 
 
 STYLE_FEATURES = 16
@@ -465,4 +473,306 @@ def test_fast_path_render_parity(cpu_reference):
         ref_global["opacity"].numpy(),
         atol=5e-3,
         rtol=5e-3,
+    )
+
+
+def _roi_pool_torch_stub(input, rois, output_size):
+    """Faithful pure-torch reimplementation of torchvision.ops.roi_pool
+    (roi_pool_kernel.cpp): torchvision is NOT installed in this image, so the
+    reference encoders cannot run without it. Quantized inclusive ROI
+    (round(coord), +1), integer floor/ceil bin edges clamped to the image,
+    MAX over each bin, 0 for empty bins. The repo twin (ops.roi_crop.roi_pool)
+    is pinned against this same spec in
+    test_roi_pool_matches_torchvision_semantics."""
+    import math
+
+    import torch
+
+    if isinstance(output_size, (tuple, list)):
+        out_h, out_w = output_size
+    else:
+        out_h = out_w = output_size
+    count = rois.shape[0]
+    channels, height, width = input.shape[1:]
+    out = torch.zeros((count, channels, out_h, out_w), dtype=input.dtype)
+
+    def _round(v):  # std::round for the non-negative coords used here
+        return int(math.floor(v + 0.5))
+
+    for k in range(count):
+        b = int(rois[k, 0])
+        x1, y1 = _round(float(rois[k, 1])), _round(float(rois[k, 2]))
+        x2, y2 = _round(float(rois[k, 3])), _round(float(rois[k, 4]))
+        roi_w, roi_h = max(x2 - x1 + 1, 1), max(y2 - y1 + 1, 1)
+        bin_h, bin_w = roi_h / out_h, roi_w / out_w
+        for ph in range(out_h):
+            hs = min(max(int(math.floor(ph * bin_h)) + y1, 0), height)
+            he = min(max(int(math.ceil((ph + 1) * bin_h)) + y1, 0), height)
+            for pw in range(out_w):
+                ws = min(max(int(math.floor(pw * bin_w)) + x1, 0), width)
+                we = min(max(int(math.ceil((pw + 1) * bin_w)) + x1, 0), width)
+                if he > hs and we > ws:
+                    out[k, :, ph, pw] = input[b, :, hs:he, ws:we].amax(
+                        dim=(-1, -2)
+                    )
+    return out
+
+
+def _install_torchvision_stub():
+    import types
+
+    if "torchvision" in sys.modules:
+        return
+    ops = types.ModuleType("torchvision.ops")
+    ops.roi_pool = _roi_pool_torch_stub
+    tv = types.ModuleType("torchvision")
+    tv.ops = ops
+    sys.modules["torchvision"] = tv
+    sys.modules["torchvision.ops"] = ops
+
+
+def test_roi_pool_matches_torchvision_semantics(cpu_reference):
+    """ops.roi_crop.roi_pool (dense separable masked max) against the
+    scalar-loop torchvision spec on random images and boxes, including
+    degenerate and out-of-range boxes."""
+    import torch
+
+    from playableenvironments_tpu.ops.roi_crop import roi_pool
+
+    rng = np.random.default_rng(3)
+    images = rng.normal(size=(5, 11, 17, 3)).astype(np.float32)
+    boxes = np.stack(
+        [
+            rng.uniform(0, 8, 5), rng.uniform(0, 5, 5),
+            rng.uniform(8, 17, 5), rng.uniform(5, 11, 5),
+        ],
+        axis=-1,
+    ).astype(np.float32)
+    boxes[3] = [4.2, 3.7, 4.3, 3.8]   # sub-pixel box
+    boxes[4] = [0.0, 0.0, 17.0, 11.0]  # full image
+
+    got = np.asarray(roi_pool(jnp.asarray(images), jnp.asarray(boxes), (6, 7)))
+
+    rois = torch.cat(
+        [
+            torch.arange(5, dtype=torch.float32)[:, None],
+            torch.from_numpy(boxes),
+        ],
+        dim=-1,
+    )
+    want = _roi_pool_torch_stub(
+        torch.from_numpy(np.moveaxis(images, -1, 1)).contiguous(), rois, (6, 7)
+    ).numpy()
+    np.testing.assert_allclose(got, np.moveaxis(want, 1, -1), atol=1e-6)
+
+
+def test_environment_model_full_chain_parity(cpu_reference):
+    """The full observations -> encoders -> poses -> rays -> composed render
+    chain: the reference's EnvironmentModel.forward_from_observations
+    (environment_model.py:847-1039) vs the repo's on a converted checkpoint.
+    Deterministic end to end: all pixels via the stride-1 grid sampler on
+    both sides, perturb off, style shuffle off, eval-mode BatchNorm."""
+    import torch
+
+    _install_torchvision_stub()  # reference encoders import torchvision
+    from model.environment_model import EnvironmentModel as RefEnvironmentModel
+
+    from playableenvironments_tpu.compat.torch_import import (
+        convert_environment_model,
+    )
+    from playableenvironments_tpu.config import (
+        ObjectEncoderConfig,
+        ParameterEncoderConfig,
+    )
+    from playableenvironments_tpu.render.environment_model import (
+        EnvironmentModel,
+    )
+
+    features = 8
+    background = _ref_object_model(
+        ((-12.0, 12.0), (-12.0, 12.0), (-1.0, 0.0)), 6, features, "zeroed"
+    )
+    player = _ref_object_model(
+        ((-0.75, 0.75), (-0.5, 0.5), (0.0, 2.0)), 10, features, "positional"
+    )
+    zero_range = [[[0.0, 0.0], [0.0, 0.0], [0.0, 0.0]]]
+    parameter_encoders = [
+        {
+            "architecture": "model.static_object_parameters_encoder",
+            "objects_count": 1,
+            "translation_range": zero_range,
+            "rotation_range": zero_range,
+        },
+        {
+            "architecture": "model.classic_object_parameters_encoder",
+            "objects_count": 1,
+            "translation_range": [[[-8.0, 8.0], [-8.0, 8.0], [0.01, 0.01]]],
+            "rotation_range": zero_range,
+        },
+    ]
+    object_encoders = [
+        {
+            "architecture": "model.object_encoder_v5",
+            "input_size": [32, 32],
+            "style_features": STYLE_FEATURES,
+            "deformation_features": DEFORMATION_FEATURES,
+        },
+        {
+            "architecture": "model.object_encoder_v4",
+            "input_size": [16, 16],
+            "style_features": STYLE_FEATURES,
+            "deformation_features": DEFORMATION_FEATURES,
+        },
+    ]
+    config = _ref_config(
+        [background, player], 1, False, False,
+        parameter_encoders=parameter_encoders,
+        object_encoders=object_encoders,
+        extra_model={
+            "use_weighted_sampling": False,
+            "sampling_weights": [0.5, 0.5],
+            "enable_camera_parameters_offsets": False,
+            "camera_parameters_memory_size": 4,
+        },
+        extra_top={
+            "data": {"focal_length_multiplier": 1.0},
+            "training": {"batching": {"allowed_cameras": [0]}},
+        },
+    )
+
+    torch.manual_seed(1)
+    ref_model = RefEnvironmentModel(config)
+    ref_model.eval()
+    with torch.no_grad():
+        for om in ref_model.object_composer.object_models_coarse:
+            om.nerf_model.alpha_head.bias += 1.5
+
+    # A tiny ground-plane scene seen from a raised camera (the graft-entry
+    # geometry): player standing at world y ~ 2 inside its detection box.
+    batch, T, cams, height, width = 1, 2, 1, 12, 16
+    observations = np.linspace(
+        0.1, 0.9, batch * T * cams * height * width * 3, dtype=np.float32
+    ).reshape(batch, T, cams, height, width, 3)
+    camera_rotations = np.zeros((batch, T, cams, 3), np.float32)
+    camera_rotations[..., 0] = -0.6
+    camera_translations = np.zeros((batch, T, cams, 3), np.float32)
+    camera_translations[..., 1] = 8.0
+    camera_translations[..., 2] = 10.0
+    focals = np.full((batch, T, cams), 20.0, np.float32)
+    boxes = np.broadcast_to(
+        np.asarray([0.4, 0.3, 0.6, 0.7], np.float32),
+        (batch, T, cams, 1, 4),
+    ).copy()
+    validity = np.ones((batch, T, cams, 1), bool)
+    frames = np.zeros((batch, T), np.int64)
+
+    with torch.no_grad():
+        ref_out = ref_model.forward_from_observations(
+            torch.from_numpy(np.moveaxis(observations, -1, -3)).contiguous(),
+            torch.from_numpy(camera_rotations),
+            torch.from_numpy(camera_translations),
+            torch.from_numpy(focals),
+            torch.from_numpy(np.moveaxis(boxes, -2, -1)).contiguous(),
+            torch.from_numpy(validity),
+            torch.from_numpy(frames),
+            torch.from_numpy(frames),
+            torch.zeros((batch,), dtype=torch.int64),
+            samples_per_image=0,
+            perturb=False,
+            patch_stride=[1],
+        )
+
+    state = _torch_state(ref_model)
+    scene = _repo_scene([background, player], 1, False, False)
+    import dataclasses
+
+    scene = dataclasses.replace(
+        scene,
+        use_weighted_sampling=False,
+        parameter_encoders=(
+            ParameterEncoderConfig(kind="static", objects_count=1),
+            ParameterEncoderConfig(
+                kind="classic",
+                objects_count=1,
+                translation_range=(((-8.0, 8.0), (-8.0, 8.0), (0.01, 0.01)),),
+                rotation_range=(((0.0, 0.0), (0.0, 0.0), (0.0, 0.0)),),
+            ),
+        ),
+        object_encoders=(
+            ObjectEncoderConfig(
+                kind="v5", input_size=(32, 32),
+                style_features=STYLE_FEATURES,
+                deformation_features=DEFORMATION_FEATURES,
+                crop_mode="roi_pool",
+            ),
+            ObjectEncoderConfig(
+                kind="v4", input_size=(16, 16),
+                style_features=STYLE_FEATURES,
+                deformation_features=DEFORMATION_FEATURES,
+                crop_mode="roi_pool",
+            ),
+        ),
+    )
+    params, stats = convert_environment_model(state, scene, cameras_count=1)
+    model = EnvironmentModel(scene, focal_length_multiplier=1.0)
+    out, _ = model.apply(
+        {"params": params, "batch_stats": stats},
+        jnp.asarray(observations),
+        jnp.asarray(camera_rotations),
+        jnp.asarray(camera_translations),
+        jnp.asarray(focals),
+        jnp.asarray(boxes),
+        jnp.asarray(validity),
+        jnp.asarray(frames.astype(np.int32)),
+        samples_per_image=0,
+        patch_strides=[1],
+        perturb=False,
+        train=False,
+        mutable=["batch_stats"],
+    )
+
+    # Same pixels in the same order (pins both grid samplers).
+    np.testing.assert_allclose(
+        np.asarray(out["observations"]),
+        ref_out["observations"].numpy(),
+        atol=1e-6,
+    )
+    # Scene encoding: poses (geometry; tight) and latents (conv stacks; 1e-3).
+    enc = out["scene_encoding"]
+    ref_enc = ref_out["scene_encoding"]
+    np.testing.assert_allclose(
+        np.asarray(enc.object_translations),
+        np.moveaxis(ref_enc["object_translation_parameters"].numpy(), -1, -2),
+        atol=1e-4, rtol=1e-4, err_msg="object translations",
+    )
+    np.testing.assert_allclose(
+        np.asarray(enc.object_rotations),
+        np.moveaxis(ref_enc["object_rotation_parameters"].numpy(), -1, -2),
+        atol=1e-4, rtol=1e-4, err_msg="object rotations",
+    )
+    np.testing.assert_allclose(
+        np.asarray(enc.object_style),
+        np.moveaxis(ref_enc["object_style"].numpy(), -1, -2),
+        atol=1e-3, rtol=1e-3, err_msg="style",
+    )
+    np.testing.assert_allclose(
+        np.asarray(enc.object_deformation),
+        np.moveaxis(ref_enc["object_deformation"].numpy(), -1, -2),
+        atol=1e-3, rtol=1e-3, err_msg="deformation",
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["reconstructed_bounding_boxes"]),
+        np.moveaxis(ref_out["reconstructed_bounding_boxes"].numpy(), -2, -1),
+        atol=1e-4, rtol=1e-4, err_msg="reconstructed boxes",
+    )
+    # The composed render itself, every pixel.
+    np.testing.assert_allclose(
+        np.asarray(out["coarse"]["global"]["integrated_features"]),
+        ref_out["coarse"]["global"]["integrated_features"].numpy(),
+        atol=2e-3, rtol=2e-3, err_msg="integrated features",
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["coarse"]["global"]["opacity"]),
+        ref_out["coarse"]["global"]["opacity"].numpy(),
+        atol=2e-3, rtol=2e-3, err_msg="opacity",
     )

@@ -38,6 +38,16 @@ GOLDEN_PATH = os.path.join(
 
 # Fixed deterministic inputs: small enough to run on CPU in seconds, large
 # enough that every conv/branch of each embedder touches real data.
+#
+# The deep embedders (InceptionV3, I3D) get NATIVE-resolution inputs
+# (299/224) so no resize sits inside the signature path: the framework
+# resizes (jax.image.resize vs torch F.interpolate vs tf.image.resize)
+# agree only to ~1e-6 per pixel, and an input-layer perturbation of 1e-6
+# amplifies ~1e4x through 94 He-initialized conv layers — swamping the
+# topology signal the goldens exist to pin. With bit-identical inputs the
+# same stack agrees cross-framework to ~1e-6 end to end (measured). Resize
+# parity is asserted separately (tests/test_torch_twins.py), where a 1e-6
+# difference is measurable instead of amplified.
 _INPUT_SEED = 1234
 
 
@@ -72,6 +82,20 @@ def synthesize_state(layout_name: str, seed: int = 0) -> Dict[str, np.ndarray]:
     return out
 
 
+def _on_cpu():
+    """Context pinning a signature computation to the CPU backend.
+
+    Signatures certify topology + conversion math, so they must be
+    device-independent: TPU rounding (multi-pass f32 convs, rsqrt
+    approximations) injects ~1e-7 per layer, and early-layer noise
+    amplifies ~1e4x through the 94-layer random-weight stacks — far past
+    any usable tolerance. The real metric computation still runs on the
+    accelerator; only this validation path is pinned."""
+    import jax
+
+    return jax.default_device(jax.devices("cpu")[0])
+
+
 def _signature(values: np.ndarray) -> Dict:
     flat = np.asarray(values, np.float64).reshape(-1)
     return {
@@ -87,16 +111,18 @@ def _inception_signature(variables: Dict) -> Dict:
     )
 
     rng = np.random.default_rng(_INPUT_SEED)
-    images = rng.random((2, 64, 64, 3)).astype(np.float32)
-    return _signature(inception_image_embedder(variables)(images))
+    images = rng.random((2, 299, 299, 3)).astype(np.float32)
+    with _on_cpu():
+        return _signature(inception_image_embedder(variables)(images))
 
 
 def _i3d_signature(variables: Dict) -> Dict:
     from playableenvironments_tpu.eval.i3d import i3d_video_embedder
 
     rng = np.random.default_rng(_INPUT_SEED + 1)
-    videos = rng.random((1, 16, 64, 64, 3)).astype(np.float32)
-    return _signature(i3d_video_embedder(variables)(videos))
+    videos = rng.random((1, 16, 224, 224, 3)).astype(np.float32)
+    with _on_cpu():
+        return _signature(i3d_video_embedder(variables)(videos))
 
 
 def _lpips_signature(variables: Dict) -> Dict:
@@ -106,10 +132,11 @@ def _lpips_signature(variables: Dict) -> Dict:
     from playableenvironments_tpu.eval.perceptual import LPIPS
 
     rng = np.random.default_rng(_INPUT_SEED + 2)
-    a = jnp.asarray(rng.random((2, 64, 64, 3)), jnp.float32)
-    b = jnp.asarray(rng.random((2, 64, 64, 3)), jnp.float32)
-    distances = jax.jit(LPIPS().apply)(variables, a, b)
-    return _signature(np.asarray(distances))
+    with _on_cpu():
+        a = jnp.asarray(rng.random((2, 64, 64, 3)), jnp.float32)
+        b = jnp.asarray(rng.random((2, 64, 64, 3)), jnp.float32)
+        distances = jax.jit(LPIPS().apply)(variables, a, b)
+        return _signature(np.asarray(distances))
 
 
 def _vgg19_signature(variables: Dict) -> Dict:
@@ -123,9 +150,10 @@ def _vgg19_signature(variables: Dict) -> Dict:
     )
 
     rng = np.random.default_rng(_INPUT_SEED + 3)
-    images = jnp.asarray(rng.random((2, 64, 64, 3)), jnp.float32)
-    net = VGGFeatures(VGG19_PLAN, VGG19_CUTS)
-    features = jax.jit(net.apply)(variables, images)
+    with _on_cpu():
+        images = jnp.asarray(rng.random((2, 64, 64, 3)), jnp.float32)
+        net = VGGFeatures(VGG19_PLAN, VGG19_CUTS)
+        features = jax.jit(net.apply)(variables, images)
     flat = np.concatenate(
         [np.asarray(f, np.float64).mean(axis=(1, 2)).reshape(-1) for f in features]
     )

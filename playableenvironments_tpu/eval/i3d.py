@@ -33,13 +33,21 @@ class Unit3D(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        # precision="highest" for device-independent FVD embeddings (the
+        # TPU default single-pass-bf16 conv compounds past tolerance over
+        # 57 units; see eval/inception_v3.py BasicConv).
         x = nn.Conv(
             self.features, self.kernel, strides=self.strides, padding="SAME",
-            use_bias=not self.use_bn, name="conv",
+            use_bias=not self.use_bn, name="conv", precision="highest",
         )(x)
         if self.use_bn:
+            # epsilon pinned to the released Kinetics graph: kinetics-i3d's
+            # Unit3D normalizes with tf.contrib.layers.batch_norm, whose
+            # default epsilon is 1e-3 (not flax's 1e-5) — with pretrained
+            # moving variances of O(1e-2) the difference is visible in FVD.
             x = nn.BatchNorm(
-                use_running_average=not train, use_scale=False, name="bn"
+                use_running_average=not train, use_scale=False,
+                epsilon=1e-3, name="bn",
             )(x)
         if self.use_relu:
             x = nn.relu(x)
@@ -109,7 +117,7 @@ class I3D(nn.Module):
             x = InceptionBlock3D(**spec, name=name)(x, train)
 
         x = jnp.mean(x, axis=(1, 2, 3))  # global spatiotemporal average pool
-        logits = nn.Dense(self.num_classes, name="logits")(x)
+        logits = nn.Dense(self.num_classes, name="logits", precision="highest")(x)
         return logits
 
 

@@ -11,7 +11,13 @@ Input: (B, H, W, 3) in [0, 1] (299x299 canonical; smaller works, the FID
 embedder resizes). Output: (B, 2048) pooled features.
 
 Stem convolutions use VALID padding and in-block convolutions SAME padding,
-matching torchvision's geometry so converted weights line up spatially.
+matching torchvision's geometry so converted weights line up spatially. The
+two FID-specific topology patches pytorch_fid applies on top of torchvision
+are replicated: in-block average pools exclude padding from the divisor
+(count_include_pad=False, inception.py:222,250,283) and Mixed_7c's pool
+branch max-pools (FIDInceptionE_2, inception.py:291-318). Both are verified
+against an independent plain-torch twin (compat/torch_twins.py) whose
+signatures are the shipped goldens.
 """
 
 from __future__ import annotations
@@ -38,14 +44,30 @@ class BasicConv(nn.Module):
             if isinstance(self.kernel, int)
             else tuple(self.kernel)
         )
+        # precision="highest": on TPU the default f32 conv runs single-pass
+        # bf16 (~5e-3 relative error per layer, measured vs a float64
+        # oracle), which compounds past 1% over this network's 94 convs —
+        # FID embeddings must not depend on the device they ran on.
         x = nn.Conv(
             self.features, kernel, strides=(self.strides, self.strides),
             padding=self.padding, use_bias=False, name="conv",
+            precision="highest",
         )(x)
         x = nn.BatchNorm(
             use_running_average=not train, epsilon=1e-3, name="bn"
         )(x)
         return nn.relu(x)
+
+
+def _fid_avg_pool(x):
+    """3x3/1 SAME average pool EXCLUDING padding from the divisor.
+
+    pytorch_fid patches every in-block torchvision avg pool to
+    count_include_pad=False (pytorch_fid/inception.py:222,250,283) to match
+    the original TF FID network; edge pixels differ from the plain pool."""
+    return nn.avg_pool(
+        x, (3, 3), strides=(1, 1), padding="SAME", count_include_pad=False
+    )
 
 
 class InceptionA(nn.Module):
@@ -59,7 +81,7 @@ class InceptionA(nn.Module):
         b2 = BasicConv(64, name="b2a")(x, train)
         b2 = BasicConv(96, 3, name="b2b")(b2, train)
         b2 = BasicConv(96, 3, name="b2c")(b2, train)
-        b3 = nn.avg_pool(x, (3, 3), strides=(1, 1), padding="SAME")
+        b3 = _fid_avg_pool(x)
         b3 = BasicConv(self.pool_features, name="b3")(b3, train)
         return jnp.concatenate([b0, b1, b2, b3], axis=-1)
 
@@ -90,7 +112,7 @@ class InceptionC(nn.Module):
         b2 = BasicConv(c7, (1, 7), name="b2c")(b2, train)
         b2 = BasicConv(c7, (7, 1), name="b2d")(b2, train)
         b2 = BasicConv(192, (1, 7), name="b2e")(b2, train)
-        b3 = nn.avg_pool(x, (3, 3), strides=(1, 1), padding="SAME")
+        b3 = _fid_avg_pool(x)
         b3 = BasicConv(192, name="b3")(b3, train)
         return jnp.concatenate([b0, b1, b2, b3], axis=-1)
 
@@ -109,6 +131,11 @@ class InceptionD(nn.Module):
 
 
 class InceptionE(nn.Module):
+    # The FID network's LAST E block (Mixed_7c) max-pools its pool branch
+    # where every other block average-pools (pytorch_fid/inception.py:291-318
+    # FIDInceptionE_2, matching the original TF graph).
+    pool_max: bool = False
+
     @nn.compact
     def __call__(self, x, train=False):
         b0 = BasicConv(320, name="b0")(x, train)
@@ -129,7 +156,10 @@ class InceptionE(nn.Module):
             ],
             axis=-1,
         )
-        b3 = nn.avg_pool(x, (3, 3), strides=(1, 1), padding="SAME")
+        if self.pool_max:
+            b3 = nn.max_pool(x, (3, 3), strides=(1, 1), padding="SAME")
+        else:
+            b3 = _fid_avg_pool(x)
         b3 = BasicConv(192, name="b3")(b3, train)
         return jnp.concatenate([b0, b1, b2, b3], axis=-1)
 
@@ -158,7 +188,7 @@ class InceptionV3Features(nn.Module):
         x = InceptionC(192, name="Mixed_6e")(x, train)
         x = InceptionD(name="Mixed_7a")(x, train)
         x = InceptionE(name="Mixed_7b")(x, train)
-        x = InceptionE(name="Mixed_7c")(x, train)
+        x = InceptionE(pool_max=True, name="Mixed_7c")(x, train)
         return jnp.mean(x, axis=(1, 2))  # (B, 2048)
 
 

@@ -178,13 +178,18 @@ def build_scene():
     )
 
 
-def bench_interactive_fps():
-    """Interactive frame rate: one full 512x288 frame per generate_next step
-    (SURVEY.md §3.3 — the reference's fps bottleneck; saved videos there are
-    5-10 fps keyboard-paced, BASELINE.md north star is >=30 fps on one chip).
-    The frame is rendered the published way: NeRF features on the AE's strided
-    grids (strides 4+8) + decoder upsample, all via the fused fast path.
-    """
+_SETUP_CACHE = {}
+
+
+def _interactive_setup():
+    """Shared interactive-render configuration (512x288, strides 4+8 AE
+    decode, bfloat16 fused fast path) used by the fps benchmark AND the
+    interactive soak — one setup so the soak measures the headline loop.
+    Memoized: in the default invocation the fps bench and the soak run in
+    one process, and re-creating the closures would force jax to recompile
+    the warm-frame render (cache keys include function identity)."""
+    if "interactive" in _SETUP_CACHE:
+        return _SETUP_CACHE["interactive"]
     import dataclasses
     import jax
     import jax.numpy as jnp
@@ -274,52 +279,27 @@ def bench_interactive_fps():
 
     frame = jax.block_until_ready(render_frame(variables, encoding))
     assert frame.shape[-3:] == (height, width, 3), frame.shape
+    result = scene, variables, encoding, strides, height, width
+    _SETUP_CACHE["interactive"] = result
+    return result
 
-    # Device-side frame time, measured as a lax.scan chain of N sequential
-    # frames inside ONE executable (each frame's input depends on the
-    # previous frame's checksum, so nothing pipelines or folds away). This
-    # isolates compute from the benchmark harness's tunneled-TPU dispatch
-    # and transfer overheads, which a local TPU host does not pay.
-    iters = int(os.environ.get("BENCH_ITERS", 20))
 
-    @jax.jit
-    def chained(v, enc):
-        def body(carry, _):
-            e = enc.replace(
-                object_translations=enc.object_translations + carry * 1e-12
-            )
-            f = fast.render_frame_fast(
-                scene, v, e, (height, width), patch_strides=strides
-            )
-            return jnp.mean(f), None
-
-        out, _ = jax.lax.scan(body, jnp.zeros(()), length=iters)
-        return out
-
-    import numpy as np
-
-    np.asarray(chained(variables, encoding))  # compile + warm
-    samples = []
-    for _ in range(BENCH_REPEATS):
-        start = time.perf_counter()
-        np.asarray(chained(variables, encoding))
-        samples.append((time.perf_counter() - start) / iters)
-    frame_s, spread = _median_spread(samples)
-    fps = 1.0 / frame_s
-    # Reference interactive rate: saved play videos are encoded at 5 fps
-    # (play.py:108) — the de-facto reference pace on one GPU.
-    emit(
-        "interactive_render_fps_512x288", round(fps, 2), "frames/s",
-        round(fps / 5.0, 3), spread,
-    )
-
-    # ---- Honest end-to-end loop (r2 verdict item 7): dynamics step for both
-    # players + full re-render + on-device uint8 conversion per frame, plus
-    # the measured host fetch of the displayed uint8 frame. This is what
-    # cli/play's generate_next loop actually executes per keypress
-    # (playable_environment_model.py:295-396).
+def _interactive_loop_factory(scene, variables, encoding, strides, height, width):
+    """Build `make_loop(n)`: a jitted n-frame generate_next loop (dynamics
+    step for both players + full re-render + uint8 display conversion per
+    frame, each frame data-dependent on the previous — nothing pipelines or
+    folds away). What cli/play executes per keypress
+    (playable_environment_model.py:295-396). Memoized alongside
+    _interactive_setup so the fps bench and the soak share the playable
+    init compile and the loop's jit cache."""
+    if "loop_factory" in _SETUP_CACHE:
+        return _SETUP_CACHE["loop_factory"]
     import dataclasses as _dc
 
+    import jax
+    import jax.numpy as jnp
+
+    from playableenvironments_tpu.render import fast
     from playableenvironments_tpu.render.interactive import (
         action_inputs,
         interactive_step,
@@ -383,6 +363,71 @@ def bench_interactive_fps():
             return checksum
 
         return loop
+
+    _SETUP_CACHE["loop_factory"] = (make_loop, playable_vars)
+    return make_loop, playable_vars
+
+
+def bench_interactive_fps():
+    """Interactive frame rate: one full 512x288 frame per generate_next step
+    (SURVEY.md §3.3 — the reference's fps bottleneck; saved videos there are
+    5-10 fps keyboard-paced, BASELINE.md north star is >=30 fps on one chip).
+    The frame is rendered the published way: NeRF features on the AE's strided
+    grids (strides 4+8) + decoder upsample, all via the fused fast path.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from playableenvironments_tpu.render import fast
+
+    scene, variables, encoding, strides, height, width = _interactive_setup()
+
+    # Device-side frame time, measured as a lax.scan chain of N sequential
+    # frames inside ONE executable (each frame's input depends on the
+    # previous frame's checksum, so nothing pipelines or folds away). This
+    # isolates compute from the benchmark harness's tunneled-TPU dispatch
+    # and transfer overheads, which a local TPU host does not pay.
+    iters = int(os.environ.get("BENCH_ITERS", 20))
+
+    @jax.jit
+    def chained(v, enc):
+        def body(carry, _):
+            e = enc.replace(
+                object_translations=enc.object_translations + carry * 1e-12
+            )
+            f = fast.render_frame_fast(
+                scene, v, e, (height, width), patch_strides=strides
+            )
+            return jnp.mean(f), None
+
+        out, _ = jax.lax.scan(body, jnp.zeros(()), length=iters)
+        return out
+
+    import numpy as np
+
+    np.asarray(chained(variables, encoding))  # compile + warm
+    samples = []
+    for _ in range(BENCH_REPEATS):
+        start = time.perf_counter()
+        np.asarray(chained(variables, encoding))
+        samples.append((time.perf_counter() - start) / iters)
+    frame_s, spread = _median_spread(samples)
+    fps = 1.0 / frame_s
+    # Reference interactive rate: saved play videos are encoded at 5 fps
+    # (play.py:108) — the de-facto reference pace on one GPU.
+    emit(
+        "interactive_render_fps_512x288", round(fps, 2), "frames/s",
+        round(fps / 5.0, 3), spread,
+    )
+
+    # ---- Honest end-to-end loop (r2 verdict item 7): dynamics step for both
+    # players + full re-render + on-device uint8 conversion per frame, plus
+    # the measured host fetch of the displayed uint8 frame. This is what
+    # cli/play's generate_next loop actually executes per keypress
+    # (playable_environment_model.py:295-396).
+    make_loop, playable_vars = _interactive_loop_factory(
+        scene, variables, encoding, strides, height, width
+    )
 
     loop_iters = max(iters, 8)
     short, long = make_loop(loop_iters), make_loop(3 * loop_iters)
@@ -539,14 +584,14 @@ def bench_train_step():
     )
 
 
-def bench_phase1_step():
-    """Phase-1 (VAE feature renderer) training step at the published scale:
-    bs 20 @ 512x288, reconstruction + perceptual + spatial KL
-    (README.md:116, configs/*/autoencoder bs_20_res_512). bfloat16 convs.
-    vs_baseline is images/sec against an assumed ~2 steps/s reference on
-    RTX 8000 (300k steps ~= 40h, a typical VAE-at-this-scale rate)."""
-    import dataclasses
-
+def _phase1_setup():
+    """Shared published-scale phase-1 trainer/batch (bs 20 @ 512x288,
+    reconstruction + perceptual + spatial KL, bfloat16 convs — README.md:116,
+    configs/*/autoencoder bs_20_res_512) used by both the step benchmark and
+    the soak, so the soak measures the headline setup. Memoized: the step
+    benchmark and the soak share one process in the default invocation."""
+    if "phase1" in _SETUP_CACHE:
+        return _SETUP_CACHE["phase1"]
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -565,6 +610,16 @@ def bench_phase1_step():
     rng = np.random.default_rng(0)
     images = jnp.asarray(rng.random((20, 288, 512, 3), np.float32))
     state = trainer.init_state(jax.random.PRNGKey(0), images)
+    _SETUP_CACHE["phase1"] = (trainer, state, images)
+    return trainer, state, images
+
+
+def bench_phase1_step():
+    """Phase-1 (VAE feature renderer) training step at the published scale
+    (see _phase1_setup). vs_baseline is images/sec against an assumed
+    ~2 steps/s reference on RTX 8000 (300k steps ~= 40h, a typical
+    VAE-at-this-scale rate)."""
+    trainer, state, images = _phase1_setup()
     iters = int(os.environ.get("BENCH_ITERS", 10))
     ms, spread = _chained_step_ms(trainer.train_step, state, images, iters)
     dt = ms / 1e3
@@ -572,6 +627,55 @@ def bench_phase1_step():
         "phase1_train_step_ms", round(ms, 1), "ms/step",
         round((20 / dt) / (20 * 2.0), 2), spread,
     )
+
+
+def bench_phase1_soak():
+    """Published-scale phase-1 soak (r3 verdict item 8): >=100 cumulative
+    train steps at bs 20 @ 512x288 — the heaviest step in the framework
+    (200 ms x 300k steps at published scale) — in one chained executable,
+    with a step-time budget assert. Catches memory/shape cliffs and loss
+    blow-ups that the 10-step benchmark cannot."""
+    import jax
+    import numpy as np
+
+    trainer, state, images = _phase1_setup()
+
+    steps = int(os.environ.get("BENCH_PHASE1_SOAK_STEPS", 100))
+    budget_ms = float(os.environ.get("BENCH_PHASE1_SOAK_BUDGET_MS", 300.0))
+
+    @jax.jit
+    def soak_chain(state, images, key):
+        def body(carry, k):
+            new_state, metrics = trainer.train_step(carry, images, k)
+            return new_state, metrics["loss"]
+        return jax.lax.scan(body, state, jax.random.split(key, steps))[1]
+
+    # Compile + warm, then time the soak chain itself: 100 steps x ~200 ms
+    # amortizes the harness's fixed dispatch/fetch costs to <1%, so no
+    # separate short/long differencing chains (and their compiles) needed.
+    losses_np = np.asarray(soak_chain(state, images, jax.random.PRNGKey(1)))
+    samples = []
+    for repeat in range(BENCH_REPEATS):
+        start = time.perf_counter()
+        losses_np = np.asarray(
+            soak_chain(state, images, jax.random.PRNGKey(2 + repeat))
+        )
+        samples.append((time.perf_counter() - start) / steps * 1e3)
+    mean_ms, spread = _median_spread(samples)
+
+    ok = mean_ms <= budget_ms and np.isfinite(losses_np).all()
+    emit(
+        "phase1_soak_step_ms", round(mean_ms, 1),
+        f"ms/step over {steps} steps (final loss "
+        f"{float(losses_np[-1]):.4f}, budget {budget_ms}, pass={ok})",
+        round((20 / (mean_ms / 1e3)) / (20 * 2.0), 2),
+        spread,
+    )
+    if not ok:
+        raise SystemExit(
+            f"phase-1 soak FAILED: mean {mean_ms:.1f} ms > {budget_ms} ms "
+            f"or non-finite loss"
+        )
 
 
 def _phase3_animation_config():
@@ -669,7 +773,11 @@ def bench_phase3_step():
         jax.random.PRNGKey(0), encoding, {}, {}
     )
 
-    iters = int(os.environ.get("BENCH_ITERS", 30))
+    # 1000 steps/chain (3000 in the long chain): at ~0.4 ms/step the r3 runs
+    # diffed ~13 ms of work against ms-scale harness jitter and produced 46%
+    # spread — the chain must be long enough to resolve its own number
+    # (r3 verdict item 5 requires spread < 10%).
+    iters = int(os.environ.get("BENCH_PHASE3_ITERS", 1000))
     ms, spread = _chained_step_ms(trainer.fused_step, state, encoding, iters)
     dt = ms / 1e3
     emit(
@@ -718,6 +826,89 @@ def bench_soak():
     )
     if not ok:
         raise SystemExit(f"soak FAILED: mean {mean_ms:.1f} ms > {budget_ms} ms")
+
+
+def _memory_snapshot():
+    """(device_bytes_in_use | None, host_maxrss_bytes): leak probes for the
+    interactive soak. memory_stats() is best-effort (the tunneled axon
+    backend and the CPU backend may not expose it)."""
+    import resource
+
+    import jax
+
+    device_bytes = None
+    try:
+        stats = jax.local_devices()[0].memory_stats()
+        if stats:
+            device_bytes = int(stats.get("bytes_in_use", 0)) or None
+    except Exception:
+        device_bytes = None
+    # ru_maxrss is KB on Linux.
+    host_bytes = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss * 1024
+    return device_bytes, host_bytes
+
+
+def bench_interactive_soak():
+    """Interactive soak (r3 verdict item 8): >=2,000 generate_next frames at
+    512x288 — dynamics for both players + full strided render + uint8 display
+    conversion per frame, each frame data-dependent on the last — run as
+    chained chunks, asserting (a) per-frame time stays steady chunk-over-chunk
+    and (b) device/host memory is flat after warmup (leak/fragmentation over
+    thousands of frames, the failure mode cli/play's long sessions would hit;
+    reference scale: play.py:206-275)."""
+    import numpy as np
+
+    scene, variables, encoding, strides, height, width = _interactive_setup()
+    make_loop, playable_vars = _interactive_loop_factory(
+        scene, variables, encoding, strides, height, width
+    )
+
+    chunks = int(os.environ.get("BENCH_INTERACTIVE_SOAK_CHUNKS", 4))
+    chunk_frames = int(os.environ.get("BENCH_INTERACTIVE_SOAK_FRAMES", 500))
+    loop = make_loop(chunk_frames)
+
+    checksum = np.asarray(loop(variables, playable_vars, encoding))  # compile
+    assert np.isfinite(checksum).all(), "non-finite frames in warmup chunk"
+    dev0, host0 = _memory_snapshot()
+
+    frame_ms = []
+    for _ in range(chunks):
+        start = time.perf_counter()
+        checksum = np.asarray(loop(variables, playable_vars, encoding))
+        frame_ms.append((time.perf_counter() - start) / chunk_frames * 1e3)
+        assert np.isfinite(checksum).all(), "non-finite frames in soak chunk"
+    dev1, host1 = _memory_snapshot()
+
+    median_ms, spread = _median_spread(frame_ms)
+    # Steady: no chunk drifts beyond 25% above the fastest (a leak or
+    # fragmentation shows up as monotonic slowdown, not symmetric jitter).
+    steady = max(frame_ms) <= min(frame_ms) * 1.25
+    device_delta = None if dev0 is None or dev1 is None else dev1 - dev0
+    host_delta_mb = (host1 - host0) / 1e6
+    # Flat: device allocation unchanged after warmup (same executable, same
+    # inputs); host peak-RSS growth bounded (maxrss only ratchets, so allow
+    # late-arriving allocator/arena highwater from the first timed chunks).
+    flat = (device_delta is None or device_delta <= 1 << 20) and (
+        host_delta_mb <= 256.0
+    )
+    ok = steady and flat
+
+    total = chunks * chunk_frames
+    fps = 1000.0 / median_ms
+    emit(
+        "interactive_soak_frame_ms", round(median_ms, 2),
+        f"ms/frame over {total} generate_next frames in {chunks} chunks "
+        f"(chunk range {min(frame_ms):.2f}-{max(frame_ms):.2f} ms, device "
+        f"mem delta {device_delta if device_delta is not None else 'n/a'} B, "
+        f"host maxrss delta {host_delta_mb:.1f} MB, pass={ok})",
+        round(fps / 5.0, 3), spread,
+    )
+    if not ok:
+        raise SystemExit(
+            f"interactive soak FAILED: steady={steady} "
+            f"(range {min(frame_ms):.2f}-{max(frame_ms):.2f} ms) flat={flat} "
+            f"(device {device_delta} B, host {host_delta_mb:.1f} MB)"
+        )
 
 
 def bench_render_headline(emit_line=True):
@@ -838,16 +1029,22 @@ def main():
         return bench_phase3_step()
     if mode == "soak":
         return bench_soak()
+    if mode == "phase1_soak":
+        return bench_phase1_soak()
+    if mode == "interactive_soak":
+        return bench_interactive_soak()
     if mode:
         return bench_render_headline()
 
     # Default invocation (the driver's): the headline rays/s is measured
     # FIRST — alone in a cold process state, the round-1 protocol — but its
     # line prints LAST so the driver's single-line parse stays on the
-    # round-1 metric. Then every mode incl. the soak (r2 verdict items 1+3).
+    # round-1 metric. Then every mode incl. the three soaks (r2 verdict
+    # items 1+3; r3 verdict item 8 adds the phase-1 and interactive soaks).
     headline = bench_render_headline(emit_line=False)
     for fn in (bench_phase1_step, bench_train_step, bench_phase3_step,
-               bench_interactive_fps, bench_soak):
+               bench_interactive_fps, bench_soak, bench_phase1_soak,
+               bench_interactive_soak):
         try:
             fn()
         # SystemExit included: bench_soak raises it on a budget failure, and

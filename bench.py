@@ -384,33 +384,44 @@ def bench_interactive_fps():
 
     # Device-side frame time, measured as a lax.scan chain of N sequential
     # frames inside ONE executable (each frame's input depends on the
-    # previous frame's checksum, so nothing pipelines or folds away). This
-    # isolates compute from the benchmark harness's tunneled-TPU dispatch
-    # and transfer overheads, which a local TPU host does not pay.
+    # previous frame's checksum, so nothing pipelines or folds away), with
+    # the short/long differencing every other bench uses: the harness's
+    # fixed dispatch+fetch cost (~30 ms over the tunnel — 30% of a 20-frame
+    # chain, which depressed the r03 number to 150 fps vs the ~195 fps the
+    # 2,000-frame soak resolves) appears in both chain lengths and cancels.
     iters = int(os.environ.get("BENCH_ITERS", 20))
 
-    @jax.jit
-    def chained(v, enc):
-        def body(carry, _):
-            e = enc.replace(
-                object_translations=enc.object_translations + carry * 1e-12
-            )
-            f = fast.render_frame_fast(
-                scene, v, e, (height, width), patch_strides=strides
-            )
-            return jnp.mean(f), None
+    def make_chained(n):
+        @jax.jit
+        def chained(v, enc):
+            def body(carry, _):
+                e = enc.replace(
+                    object_translations=enc.object_translations + carry * 1e-12
+                )
+                f = fast.render_frame_fast(
+                    scene, v, e, (height, width), patch_strides=strides
+                )
+                return jnp.mean(f), None
 
-        out, _ = jax.lax.scan(body, jnp.zeros(()), length=iters)
-        return out
+            out, _ = jax.lax.scan(body, jnp.zeros(()), length=n)
+            return out
+
+        return chained
 
     import numpy as np
 
-    np.asarray(chained(variables, encoding))  # compile + warm
+    chained_short, chained_long = make_chained(iters), make_chained(3 * iters)
+    np.asarray(chained_short(variables, encoding))  # compile + warm
+    np.asarray(chained_long(variables, encoding))
     samples = []
     for _ in range(BENCH_REPEATS):
         start = time.perf_counter()
-        np.asarray(chained(variables, encoding))
-        samples.append((time.perf_counter() - start) / iters)
+        np.asarray(chained_short(variables, encoding))
+        t_short = time.perf_counter() - start
+        start = time.perf_counter()
+        np.asarray(chained_long(variables, encoding))
+        t_long = time.perf_counter() - start
+        samples.append(max(t_long - t_short, 1e-9) / (2 * iters))
     frame_s, spread = _median_spread(samples)
     fps = 1.0 / frame_s
     # Reference interactive rate: saved play videos are encoded at 5 fps
@@ -980,27 +991,42 @@ def bench_render_headline(emit_line=True):
             )
             return out["coarse"]["global"]["integrated_features"]
 
-    iters = int(os.environ.get("BENCH_ITERS", 10))
+    iters = int(os.environ.get("BENCH_HEADLINE_ITERS", 50))
 
     # Device-side chain: each iteration's directions are perturbed by the
     # previous result's checksum so nothing folds, pipelines, or could be
-    # memoized by the harness (see bench_interactive_fps).
+    # memoized by the harness (see bench_interactive_fps). Timed as the
+    # DIFFERENCE of two chain lengths (n and 3n) like every other metric:
+    # a same-session sweep (r04) measured chain time = n x 5.75 ms + 30.5 ms
+    # — a fixed ~30 ms tunnel dispatch+fetch cost that at the old n=10
+    # inflated per-ray time by ~60% (9.52 -> 5.90 ms/iter from n=10 to
+    # n=200) and whose session-to-session variance was the r01->r03 "drift".
+    # Differencing cancels it exactly, leaving pure device compute.
     import numpy as np
 
-    @jax.jit
-    def chained(v, dirs):
-        def body(carry, _):
-            out = render(v, dirs + carry * 1e-12)
-            return jnp.mean(out), None
-        out, _ = jax.lax.scan(body, jnp.zeros(()), length=iters)
-        return out
+    def make_chained(n):
+        @jax.jit
+        def chained(v, dirs):
+            def body(carry, _):
+                out = render(v, dirs + carry * 1e-12)
+                return jnp.mean(out), None
+            out, _ = jax.lax.scan(body, jnp.zeros(()), length=n)
+            return out
 
-    np.asarray(chained(variables, directions))  # compile + warm
+        return chained
+
+    chained_short, chained_long = make_chained(iters), make_chained(3 * iters)
+    np.asarray(chained_short(variables, directions))  # compile + warm
+    np.asarray(chained_long(variables, directions))
     samples = []
     for _ in range(BENCH_REPEATS):
         start = time.perf_counter()
-        np.asarray(chained(variables, directions))
-        samples.append(rays * iters / (time.perf_counter() - start))
+        np.asarray(chained_short(variables, directions))
+        t_short = time.perf_counter() - start
+        start = time.perf_counter()
+        np.asarray(chained_long(variables, directions))
+        t_long = time.perf_counter() - start
+        samples.append(rays * 2 * iters / max(t_long - t_short, 1e-9))
     rays_per_sec, spread = _median_spread(samples)
 
     line = {

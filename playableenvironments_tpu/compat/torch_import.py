@@ -371,19 +371,27 @@ def convert_camera_offsets(
 
 
 def convert_object_composer(
-    state: Mapping[str, np.ndarray], scene, prefix: str = "object_composer."
+    state: Mapping[str, np.ndarray],
+    scene,
+    prefix: str = "object_composer.",
+    separate_fine: bool = False,
 ) -> Tuple[Dict, Dict]:
     """ObjectComposer subtree of a reference state_dict -> (params, stats)
     for render.composer.SceneComposer, keyed object_model_{i}.
 
     Reference layout (object_composer.py:26-29): one coarse module per object
-    model at object_models_coarse.{i} with nerf_model + ray_bender children.
-    Published configs all run use_fine=False, so fine modules are not mapped.
+    model at object_models_coarse.{i} with nerf_model + ray_bender children,
+    plus a SEPARATE fine instance at object_models_fine.{i} for objects with
+    use_fine. Published configs all run use_fine=False; pass
+    separate_fine=True to also map the fine instances onto
+    SceneComposer(separate_fine=True)'s object_model_fine_{i} entries
+    (without it, use_fine objects reuse the coarse parameters for the fine
+    pass — the importer then only maps coarse weights).
     """
     params: Dict = {}
     stats: Dict = {}
-    for i, om in enumerate(scene.object_models):
-        p = f"{prefix}object_models_coarse.{i}."
+
+    def convert_instance(om, p):
         entry_p: Dict = {}
         entry_s: Dict = {}
         if om.nerf.kind == "skybox":
@@ -398,8 +406,20 @@ def convert_object_composer(
             entry_p["ray_bender"] = convert_positional_ray_bender(
                 state, p + "ray_bender.", om.bender.layers_count
             )
+        return entry_p, entry_s
+
+    for i, om in enumerate(scene.object_models):
+        entry_p, entry_s = convert_instance(
+            om, f"{prefix}object_models_coarse.{i}."
+        )
         params[f"object_model_{i}"] = entry_p
         stats[f"object_model_{i}"] = entry_s
+        if separate_fine and om.use_fine:
+            fine_p, fine_s = convert_instance(
+                om, f"{prefix}object_models_fine.{i}."
+            )
+            params[f"object_model_fine_{i}"] = fine_p
+            stats[f"object_model_fine_{i}"] = fine_s
     return params, stats
 
 

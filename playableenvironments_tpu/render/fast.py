@@ -101,6 +101,15 @@ def render_rays_fast(
               per-sample weights never materialize densely here).
     """
     object_ids = ObjectIds(scene)
+    if any(om.use_fine for om in scene.object_models):
+        # The compacted fast path is coarse-only (published configs all run
+        # use_fine=False; the hierarchical path lives in SceneComposer and
+        # is reference-oracle-pinned by tests/test_reference_parity.py).
+        # Fail loudly rather than silently dropping the fine pass.
+        raise NotImplementedError(
+            "render.fast is coarse-only; use SceneComposer for use_fine "
+            "objects (or set use_fine=False for interactive rendering)"
+        )
     params = variables["params"]["composer"]
     batch_stats = variables.get("batch_stats", {}).get("composer", {})
 

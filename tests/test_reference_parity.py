@@ -94,7 +94,8 @@ def _ref_nerf_config(output_features):
     }
 
 
-def _ref_object_model(box, positions, output_features, bender):
+def _ref_object_model(box, positions, output_features, bender,
+                      use_fine=False, positions_fine=None):
     if bender == "positional":
         bender_config = {
             "architecture": "model.nerf_models.positional_ray_bender_model",
@@ -113,8 +114,8 @@ def _ref_object_model(box, positions, output_features, bender):
         "architecture": "model.nerf_models.ray_bending_style_nerf_model",
         "bounding_box": [list(r) for r in box],
         "positions_count_coarse": positions,
-        "positions_count_fine": positions,
-        "use_fine": False,
+        "positions_count_fine": positions_fine or positions,
+        "use_fine": use_fine,
         "empty_space_alpha": -3.5,
         "z_near_min": 0.1,
         "z_far_max": 60.0,
@@ -191,7 +192,8 @@ def _repo_scene(object_models, static_count, apply_activation,
                 name="object",
                 bounding_box=tuple(tuple(r) for r in om["bounding_box"]),
                 positions_count_coarse=om["positions_count_coarse"],
-                use_fine=False,
+                positions_count_fine=om["positions_count_fine"],
+                use_fine=om["use_fine"],
                 empty_space_alpha=om["empty_space_alpha"],
                 z_near_min=om["z_near_min"],
                 z_far_max=om["z_far_max"],
@@ -284,7 +286,11 @@ def _run_reference_composer(config, inputs, step=0):
     # weights exactly 0: a vacuous oracle). Bias them positive so the
     # transmittance/composition math actually discriminates.
     with torch.no_grad():
-        for model in composer.object_models_coarse:
+        for model in list(composer.object_models_coarse) + list(
+            composer.object_models_fine
+        ):
+            if model is None:
+                continue
             head = getattr(model.nerf_model, "alpha_head", None)
             if head is not None:
                 head.bias += 1.5
@@ -305,14 +311,16 @@ def _run_reference_composer(config, inputs, step=0):
     return out, state
 
 
-def _run_repo_composer(scene, state, inputs, step=0):
+def _run_repo_composer(scene, state, inputs, step=0, separate_fine=False):
     from playableenvironments_tpu.compat.torch_import import (
         convert_object_composer,
     )
     from playableenvironments_tpu.render.composer import SceneComposer
 
-    params, stats = convert_object_composer(state, scene)
-    composer = SceneComposer(scene)
+    params, stats = convert_object_composer(
+        state, scene, separate_fine=separate_fine
+    )
+    composer = SceneComposer(scene, separate_fine=separate_fine)
     origins, directions, normals, w2o, style, deformation, in_scene = inputs
     out = composer.apply(
         {"params": params, "batch_stats": stats},
@@ -373,6 +381,110 @@ def test_composer_forward_parity(cpu_reference, apply_activation, features):
         )
     # The oracle must have discriminating power: weights actually vary.
     assert float(np.abs(ref_out["coarse"]["global"]["weights"].numpy()).max()) > 1e-3
+
+
+def test_composer_forward_parity_hierarchical_fine(cpu_reference):
+    """The coarse->fine hierarchical path as a reference oracle
+    (object_composer.py:26-29 separate fine instances; :563-578 inverse-CDF
+    resampling from coarse weights; ray_helper.py:1320-1403
+    create_ray_positions_weighted — midpoint bins, weights[1:-1], merged
+    sort of coarse+fine t values). perturb=False on both sides makes the
+    inverse-CDF samples deterministic linspace quantiles, so the comparison
+    is exact up to float summation order. Both objects run use_fine with
+    DIFFERENT fine counts (6 and 9) and the reference's independently
+    initialized fine networks are imported via separate_fine=True."""
+    features = 8
+    object_models = [
+        _ref_object_model(BG_BOX, 8, features, "zeroed",
+                          use_fine=True, positions_fine=6),
+        _ref_object_model(PLAYER_BOX, 12, features, "positional",
+                          use_fine=True, positions_fine=9),
+    ]
+    config = _ref_config(object_models, 1, False, False)
+    scene = _repo_scene(object_models, 1, False, False)
+    inputs = _composer_inputs(2)
+
+    ref_out, state = _run_reference_composer(config, inputs, step=500)
+    _, _, repo_out = _run_repo_composer(
+        scene, state, inputs, step=500, separate_fine=True
+    )
+
+    assert "fine" in ref_out and "fine" in repo_out
+    for pass_name in ("coarse", "fine"):
+        for entry in ("object_0", "object_1", "global"):
+            _assert_integration_close(
+                ref_out[pass_name][entry], repo_out[pass_name][entry],
+                global_entry=entry == "global",
+            )
+    # Oracle discriminating power: the fine pass carries the merged
+    # coarse+fine sample counts and actually differs from the coarse pass.
+    fine_weights = ref_out["fine"]["global"]["weights"].numpy()
+    assert fine_weights.shape[-1] == (8 + 6) + (12 + 9)
+    assert float(np.abs(fine_weights).max()) > 1e-3
+    assert not np.allclose(
+        ref_out["fine"]["global"]["integrated_features"].numpy(),
+        ref_out["coarse"]["global"]["integrated_features"].numpy(),
+        atol=1e-4,
+    )
+
+
+def test_composer_fine_shared_weights_parity(cpu_reference):
+    """The repo's default fine mode (separate_fine=False: the fine pass
+    reuses the coarse parameters) against the reference with its fine
+    instances' weights overwritten by the coarse ones — the two designs
+    coincide exactly when coarse and fine weights are tied, which pins the
+    repo's weight-sharing shortcut to the reference's math."""
+    features = 8
+    object_models = [
+        _ref_object_model(BG_BOX, 8, features, "zeroed",
+                          use_fine=True, positions_fine=6),
+        _ref_object_model(PLAYER_BOX, 12, features, "positional",
+                          use_fine=True, positions_fine=9),
+    ]
+    config = _ref_config(object_models, 1, False, False)
+    scene = _repo_scene(object_models, 1, False, False)
+    inputs = _composer_inputs(2)
+
+    import torch
+    from model.object_composer import ObjectComposer
+
+    torch.manual_seed(0)
+    composer = ObjectComposer(config)
+    composer.eval()
+    composer.set_step(500)
+    with torch.no_grad():
+        for model in composer.object_models_coarse:
+            model.nerf_model.alpha_head.bias += 1.5
+        # Tie fine weights to coarse.
+        for coarse, fine in zip(
+            composer.object_models_coarse, composer.object_models_fine
+        ):
+            fine.load_state_dict(coarse.state_dict())
+
+    origins, directions, normals, w2o, style, deformation, in_scene = inputs
+    with torch.no_grad():
+        ref_out = composer.forward(
+            torch.from_numpy(origins),
+            torch.from_numpy(directions),
+            torch.from_numpy(normals),
+            torch.from_numpy(w2o),
+            torch.from_numpy(style),
+            torch.from_numpy(deformation),
+            torch.from_numpy(in_scene),
+            perturb=False,
+        )
+    state = {
+        f"object_composer.{k}": v for k, v in _torch_state(composer).items()
+    }
+    _, _, repo_out = _run_repo_composer(
+        scene, state, inputs, step=500, separate_fine=False
+    )
+    for pass_name in ("coarse", "fine"):
+        for entry in ("object_0", "object_1", "global"):
+            _assert_integration_close(
+                ref_out[pass_name][entry], repo_out[pass_name][entry],
+                global_entry=entry == "global",
+            )
 
 
 def test_composer_forward_parity_overlap_fix_and_skybox(cpu_reference):

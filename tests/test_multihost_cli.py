@@ -44,7 +44,7 @@ def _base_config(tmp_path, data_root):
 
 
 def _launch(tmp_path, cli_module, cli_args, devices_per_process=1,
-            extra_env=None):
+            extra_env=None, timeout=900):
     """Run 2 coordinated jax.distributed processes through a real CLI;
     assert both exit 0."""
     port = _free_port()
@@ -76,7 +76,7 @@ def _launch(tmp_path, cli_module, cli_args, devices_per_process=1,
     outputs = []
     try:
         for proc in procs:
-            out, _ = proc.communicate(timeout=900)
+            out, _ = proc.communicate(timeout=timeout)
             outputs.append(out)
     finally:
         for proc in procs:  # never leave orphans on timeout
@@ -154,6 +154,96 @@ def test_two_process_phase2_2d_mesh_cli(tmp_path, data_root):
         cfg["logging"]["output_root"], "synthetic_smoke", "images"
     )
     assert os.path.isdir(eval_strip) and os.listdir(eval_strip)
+
+
+def test_pod_phase2_1d_data8_cli(tmp_path, data_root):
+    """The pod-relevant 1D shape (round-4 verdict item 5): 2 processes x 4
+    local devices, `data: 8` — several local devices per process, the exact
+    layout the multi-process mesh validation (cli/common.py:134-162) was
+    written for but never executed. Global batch 8, one example per device."""
+    cfg = _base_config(tmp_path, data_root)
+    cfg["training"]["max_steps"] = 2
+    cfg["training"]["save_freq"] = 2
+    cfg["training"]["log_interval_steps"] = 1
+    cfg["training"]["batching"]["batch_size"] = 8
+    cfg["training"]["mesh"] = {"data": 8}
+    config_path = os.path.join(tmp_path, "pod_1d.yaml")
+    yaml.safe_dump(cfg, open(config_path, "w"))
+
+    _launch(
+        tmp_path, "train", ["--config", config_path],
+        devices_per_process=4, timeout=1800,
+    )
+
+    from playableenvironments_tpu.train.checkpointing import latest_checkpoint
+
+    ckpt_root = os.path.join(cfg["logging"]["checkpoints_root"], "synthetic_smoke")
+    assert latest_checkpoint(ckpt_root) is not None
+
+
+def test_pod_phase2_2d_data2_rays4_cli(tmp_path, data_root):
+    """The pod-relevant 2D shape (round-4 verdict item 5): data across the 2
+    processes x rays over each process's FULL row of 4 local devices — the
+    layout where the ray axis spans a whole host and any rays-axis collective
+    that accidentally crossed hosts would deadlock or crawl."""
+    cfg = _base_config(tmp_path, data_root)
+    cfg["training"]["max_steps"] = 2
+    cfg["training"]["save_freq"] = 2
+    cfg["training"]["log_interval_steps"] = 1
+    cfg["training"]["batching"]["batch_size"] = 2
+    cfg["training"]["mesh"] = {"data": 2, "rays": 4}
+    config_path = os.path.join(tmp_path, "pod_2d.yaml")
+    yaml.safe_dump(cfg, open(config_path, "w"))
+
+    _launch(
+        tmp_path, "train", ["--config", config_path],
+        devices_per_process=4, timeout=1800,
+    )
+
+    from playableenvironments_tpu.train.checkpointing import latest_checkpoint
+
+    ckpt_root = os.path.join(cfg["logging"]["checkpoints_root"], "synthetic_smoke")
+    assert latest_checkpoint(ckpt_root) is not None
+
+
+def test_pod_phase3_multidevice_cli(tmp_path, data_root):
+    """Phase 3 with >1 local device per process (round-4 verdict item 5):
+    the encoding-cache build + broadcast and the fused G+D step dispatched
+    over a 2-process x 2-device data mesh (the prior phase-3 multi-host test
+    ran 1 device per process, so the cache path never saw a sharded mesh)."""
+    cfg = _base_config(tmp_path, data_root)
+    cfg["training"]["max_steps"] = 2
+    cfg["training"]["save_freq"] = 2
+    cfg["playable_model_training"]["max_steps"] = 4
+    cfg["playable_model_training"]["save_freq"] = 4
+    cfg["playable_model_training"]["log_interval_steps"] = 2
+    cfg["playable_model_training"]["batching"]["batch_size"] = 4
+    config_path = os.path.join(tmp_path, "pod_p3.yaml")
+    yaml.safe_dump(cfg, open(config_path, "w"))
+
+    argv = sys.argv
+    sys.argv = ["train", "--config", config_path]
+    try:
+        from playableenvironments_tpu.cli.train import main
+
+        main()
+    finally:
+        sys.argv = argv
+    from playableenvironments_tpu.train.checkpointing import latest_checkpoint
+
+    ckpt_root = os.path.join(cfg["logging"]["checkpoints_root"], "synthetic_smoke")
+    env_ckpt = latest_checkpoint(ckpt_root)
+    assert env_ckpt is not None
+
+    _launch(
+        tmp_path, "train_playable",
+        ["--config", config_path, "--environment_checkpoint", env_ckpt],
+        devices_per_process=2, timeout=1800,
+    )
+
+    playable_root = os.path.join(ckpt_root, "playable")
+    assert latest_checkpoint(playable_root) is not None
+    assert os.path.isfile(os.path.join(playable_root, "encoding_cache.npz"))
 
 
 def test_two_process_phase1_cli(tmp_path, data_root):

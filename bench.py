@@ -4,7 +4,7 @@ Measures the hot path — the composed multi-object volume render at the
 published tennis scale (8x256 AdaIN MLPs, 192 output features, 2 static
 background objects at 4 samples/ray + 2 players at 32 samples/ray = 72 MLP
 evaluations per ray; configs/tennis/193_...yaml:129,241) — and prints ONE
-JSON line for the driver.
+JSON line per metric for the driver.
 
 vs_baseline compares against an estimated PyTorch-reference throughput on an
 A100. The reference publishes no benchmark numbers (BASELINE.md), so the
@@ -12,10 +12,27 @@ estimate is analytic: ~86 MFLOP/ray forward at this scale, with the reference
 fp32 eager pipeline (boolean-gather filtering, per-object Python loops,
 60-1200-ray host-side micro-batching) sustaining at most ~2 TFLOP/s on A100
 => ~2.3e4 rays/s. The north-star target is 10x that (BASELINE.md).
+
+Record-preservation protocol (r04's driver capture was killed on timeout and
+lost the headline + soak lines):
+  - the headline is measured FIRST (cold process) and its line prints
+    IMMEDIATELY, then again LAST via an atexit hook (the driver parses the
+    last line);
+  - every chained workload compiles ONE executable with the chain length as
+    a `fori_loop` runtime argument, so the short/long differencing pays one
+    compile instead of two;
+  - a wall-clock deadline (BENCH_DEADLINE_S, default 1020 s) gates each
+    remaining bench: when the estimated cost does not fit, an explicit
+    `<name>_skipped` line is printed instead of silently losing the metric;
+  - a SIGTERM net prints `<name>_skipped` lines for anything still pending
+    plus the headline before exiting, so even a hard driver timeout leaves a
+    complete, parseable record.
 """
 
+import atexit
 import json
 import os
+import signal
 import sys
 import time
 
@@ -23,8 +40,41 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 REFERENCE_A100_RAYS_PER_SEC = 2.3e4  # documented estimate, see module docstring
 
-
 BENCH_REPEATS = int(os.environ.get("BENCH_REPEATS", 3))
+BENCH_ITERS = int(os.environ.get("BENCH_ITERS", 20))
+
+_START_TIME = time.monotonic()
+# Driver wall budget. The r04 default run was killed by the driver's timeout
+# (BENCH_r04.json rc=124) and its record lost the headline and all soak
+# lines; the default now fits well inside plausible driver budgets and
+# degrades explicitly (skip lines) rather than silently.
+BENCH_DEADLINE_S = float(os.environ.get("BENCH_DEADLINE_S", 1020.0))
+
+
+def _enable_compilation_cache():
+    """Repo-local persistent XLA compilation cache. On the tunneled bench
+    harness every compile pays a ~35 s fixed cost (a 777x777 tanh-matmul
+    loop measured 39.2 s cold, 0.6 s from cache) — compiles, not compute,
+    blew r04's driver budget. The committed .jax_cache/ is populated by the
+    same default invocation the driver runs, so a driver run on the same
+    jax/backend starts warm; on any other backend it silently recompiles
+    (and the deadline gating below keeps the record complete)."""
+    try:
+        import jax
+
+        cache_dir = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), ".jax_cache"
+        )
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    except Exception:  # pragma: no cover - cache is an optimization only
+        pass
+
+
+def _remaining_s():
+    return BENCH_DEADLINE_S - (time.monotonic() - _START_TIME)
 
 
 def _median_spread(samples):
@@ -62,42 +112,148 @@ def emit(metric, value, unit, vs_baseline, spread_pct=None):
         line["spread_pct"] = spread_pct
         line["runs"] = BENCH_REPEATS
     line["env"] = _environment_tag()
-    print(json.dumps(line))
+    print(json.dumps(line), flush=True)
     return line
 
 
-def _chained_step_ms(step_fn, state, data, iters, repeats=None):
-    """Per-step wall time via the DIFFERENCE of two chain lengths (iters and
-    3*iters), both fed the same device-resident input state: the tunnel
-    harness's fixed costs (state upload at ~70 MB/s, output fetch, dispatch)
-    appear in both runs and cancel, leaving pure per-step compute.
-    Repeated BENCH_REPEATS times; returns (median_ms, spread_pct)."""
+def emit_skip(name, reason):
+    return emit(f"{name}_skipped", 0, f"skipped: {reason}", 0)
+
+
+class NonPositiveDifference(RuntimeError):
+    """Harness jitter made the long chain not slower than the short one
+    often enough that the metric cannot be resolved (advisor r04: clamping
+    such samples to 1e-9 silently corrupted the median instead of failing)."""
+
+
+def _timed_force(fn, attempt=0):
+    """fn(attempt) -> device output; returns wall seconds to force it."""
+    import numpy as np
+
+    start = time.perf_counter()
+    np.asarray(fn(attempt))
+    return time.perf_counter() - start
+
+
+def _difference_samples(run_short, run_long, iters, repeats=None):
+    """The bench protocol (docs/PERFORMANCE.md): per-step time is the
+    DIFFERENCE between a 3n-step and an n-step device-side chain — the
+    harness's fixed dispatch+fetch cost (~30 ms over the tunnel) appears in
+    both and cancels. Non-positive differences are re-measured, not clamped;
+    returns (median_seconds_per_step, spread_pct)."""
+    repeats = repeats or BENCH_REPEATS
+    samples = []
+    attempts = 0
+    while len(samples) < repeats and attempts < repeats * 3:
+        attempts += 1
+        t_short = _timed_force(run_short, attempts)
+        t_long = _timed_force(run_long, attempts)
+        if t_long > t_short:
+            samples.append((t_long - t_short) / (2 * iters))
+    if len(samples) < min(2, repeats):
+        raise NonPositiveDifference(
+            f"{attempts} attempts produced only {len(samples)} positive "
+            f"long-short differences (short/long chains of {iters}/{3 * iters})"
+        )
+    return _median_spread(samples)
+
+
+_SETUP_CACHE = {}
+
+
+def _evict_setup(*names):
+    """Drop setup cache entries after their last consumer in the default
+    sequence: pinned train states / variables are hundreds of MB of HBM that
+    would otherwise change the measurement environment of every later bench
+    (advisor r04)."""
+    for name in names:
+        _SETUP_CACHE.pop(name, None)
+
+
+def _train_chain(step_fn):
+    """ONE jitted chain executable with the step count as a runtime
+    argument: `chain(state, data, key, n)` runs n sequential train steps
+    (fori_loop; fresh fold_in key per step) and returns
+    (final_state, [final_loss, nonfinite_loss_count]). The short/long
+    differencing protocol then reuses a single compile for both lengths,
+    and soaks extend the same executable by feeding the returned state
+    forward — no extra compiles."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def chain(state, data, key, n):
+        def body(i, carry):
+            st, _, bad = carry
+            new_state, metrics = step_fn(st, data, jax.random.fold_in(key, i))
+            loss = metrics["loss"]
+            bad = bad + jnp.logical_not(jnp.isfinite(loss)).astype(jnp.float32)
+            return (new_state, loss, bad)
+
+        final, loss, bad = jax.lax.fori_loop(
+            0, n, body, (state, jnp.zeros(()), jnp.zeros(()))
+        )
+        return final, jnp.stack([loss, bad])
+
+    return chain
+
+
+def _chained_step_ms(name, step_fn, state, data, iters, repeats=None):
+    """Per-step wall time for a train-step function via the one-compile
+    dynamic-length chain + differencing. The compiled chain is cached under
+    `name` so the matching soak reuses it."""
     import jax
     import numpy as np
 
-    def make(n):
-        @jax.jit
-        def chain(state, data, key):
-            def body(carry, k):
-                new_state, metrics = step_fn(carry, data, k)
-                return new_state, metrics["loss"]
-            return jax.lax.scan(body, state, jax.random.split(key, n))[1]
+    chain = _SETUP_CACHE.get(f"chain/{name}")
+    if chain is None:
+        chain = _train_chain(step_fn)
+        _SETUP_CACHE[f"chain/{name}"] = chain
 
-        return chain
+    def run(n, base):
+        # Fresh key per timed attempt (the r03+ protocol: nothing the
+        # harness could memoize repeats between samples).
+        def go(attempt=0):
+            return chain(
+                state, data, jax.random.PRNGKey(base + attempt), n
+            )[1]
 
-    short, long = make(iters), make(3 * iters)
-    np.asarray(short(state, data, jax.random.PRNGKey(1)))  # compile
-    np.asarray(long(state, data, jax.random.PRNGKey(1)))  # compile
-    samples = []
-    for repeat in range(repeats or BENCH_REPEATS):
+        return go
+
+    np.asarray(run(iters, 1)())  # compile (one executable) + warm
+    np.asarray(run(3 * iters, 1)())  # warm the long length
+    seconds, spread = _difference_samples(
+        run(iters, 100), run(3 * iters, 200), iters, repeats
+    )
+    return seconds * 1e3, spread
+
+
+def _run_soak_chain(name, step_fn, state, data, calls, steps_per_call):
+    """Cumulative training soak reusing the cached chain executable: `calls`
+    sequential invocations of `steps_per_call` steps, state fed forward
+    on-device (never fetched). Returns (per_call_step_ms list,
+    final_loss, nonfinite_count)."""
+    import jax
+    import numpy as np
+
+    chain = _SETUP_CACHE.get(f"chain/{name}")
+    if chain is None:
+        chain = _train_chain(step_fn)
+        _SETUP_CACHE[f"chain/{name}"] = chain
+    np.asarray(chain(state, data, jax.random.PRNGKey(0), steps_per_call)[1])
+
+    per_call_ms = []
+    stats = None
+    for call in range(calls):
         start = time.perf_counter()
-        np.asarray(short(state, data, jax.random.PRNGKey(2 + repeat)))
-        t_short = time.perf_counter() - start
-        start = time.perf_counter()
-        np.asarray(long(state, data, jax.random.PRNGKey(100 + repeat)))
-        t_long = time.perf_counter() - start
-        samples.append(max(t_long - t_short, 1e-9) / (2 * iters) * 1e3)
-    return _median_spread(samples)
+        state, stats = chain(
+            state, data, jax.random.PRNGKey(10 + call), steps_per_call
+        )
+        stats = np.asarray(stats)  # forces the whole call's compute
+        per_call_ms.append(
+            (time.perf_counter() - start) / steps_per_call * 1e3
+        )
+    return per_call_ms, float(stats[0]), float(stats[1])
 
 
 def build_scene():
@@ -178,9 +334,6 @@ def build_scene():
     )
 
 
-_SETUP_CACHE = {}
-
-
 def _interactive_setup():
     """Shared interactive-render configuration (512x288, strides 4+8 AE
     decode, bfloat16 fused fast path) used by the fps benchmark AND the
@@ -200,7 +353,6 @@ def _interactive_setup():
         autoencoder_strides,
         features_count_by_layer,
     )
-    from playableenvironments_tpu.render import fast
     from playableenvironments_tpu.render.composer import SceneComposer
     from playableenvironments_tpu.scene.encoding import SceneEncoding
 
@@ -271,27 +423,19 @@ def _interactive_setup():
         },
     }
 
-    @jax.jit
-    def render_frame(v, enc):
-        return fast.render_frame_fast(
-            scene, v, enc, (height, width), patch_strides=strides
-        )
-
-    frame = jax.block_until_ready(render_frame(variables, encoding))
-    assert frame.shape[-3:] == (height, width, 3), frame.shape
     result = scene, variables, encoding, strides, height, width
     _SETUP_CACHE["interactive"] = result
     return result
 
 
 def _interactive_loop_factory(scene, variables, encoding, strides, height, width):
-    """Build `make_loop(n)`: a jitted n-frame generate_next loop (dynamics
-    step for both players + full re-render + uint8 display conversion per
-    frame, each frame data-dependent on the previous — nothing pipelines or
-    folds away). What cli/play executes per keypress
-    (playable_environment_model.py:295-396). Memoized alongside
-    _interactive_setup so the fps bench and the soak share the playable
-    init compile and the loop's jit cache."""
+    """Build the jitted dynamic-length generate_next loop (dynamics step for
+    both players + full re-render + uint8 display conversion per frame, each
+    frame data-dependent on the previous — nothing pipelines or folds away).
+    What cli/play executes per keypress
+    (playable_environment_model.py:295-396). ONE executable; the frame count
+    is a runtime argument so the fps bench's short/long differencing and the
+    2,000-frame soak all share a single compile."""
     if "loop_factory" in _SETUP_CACHE:
         return _SETUP_CACHE["loop_factory"]
     import dataclasses as _dc
@@ -329,43 +473,40 @@ def _interactive_loop_factory(scene, variables, encoding, strides, height, width
         lambda k: playable.init(k, method=init_both)
     )(jax.random.PRNGKey(1))
 
-    def make_loop(n):
-        @jax.jit
-        def loop(v_env, v_play, enc0):
-            initial_style = enc0.object_style
-            enc1, carries = interactive_step(
-                playable, v_play, enc0, initial_style, [None, None],
+    @jax.jit
+    def loop(v_env, v_play, enc0, n):
+        initial_style = enc0.object_style
+        enc1, carries = interactive_step(
+            playable, v_play, enc0, initial_style, [None, None],
+            one_hots, variations,
+        )
+
+        def body(_, carry):
+            enc, cs, checksum = carry
+            enc = enc.replace(
+                object_translations=enc.object_translations
+                + checksum * 1e-12
+            )
+            enc2, cs2 = interactive_step(
+                playable, v_play, enc, initial_style, cs,
                 one_hots, variations,
             )
-
-            def body(carry, _):
-                enc, cs, checksum = carry
-                enc = enc.replace(
-                    object_translations=enc.object_translations
-                    + checksum * 1e-12
-                )
-                enc2, cs2 = interactive_step(
-                    playable, v_play, enc, initial_style, cs,
-                    one_hots, variations,
-                )
-                frame = fast.render_frame_fast(
-                    scene, v_env, enc2, (height, width), patch_strides=strides
-                )
-                frame_u8 = (jnp.clip(frame, 0.0, 1.0) * 255.0).astype(jnp.uint8)
-                # Checksum THROUGH the uint8 image so the display conversion
-                # is computed, not dead-code-eliminated.
-                checksum = jnp.sum(frame_u8.astype(jnp.float32)) * 1e-12
-                return (enc2, cs2, checksum), None
-
-            (enc_out, _, checksum), _ = jax.lax.scan(
-                body, (enc1, carries, jnp.zeros(())), length=n
+            frame = fast.render_frame_fast(
+                scene, v_env, enc2, (height, width), patch_strides=strides
             )
-            return checksum
+            frame_u8 = (jnp.clip(frame, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+            # Checksum THROUGH the uint8 image so the display conversion
+            # is computed, not dead-code-eliminated.
+            checksum = jnp.sum(frame_u8.astype(jnp.float32)) * 1e-12
+            return (enc2, cs2, checksum)
 
-        return loop
+        _, _, checksum = jax.lax.fori_loop(
+            0, n, body, (enc1, carries, jnp.zeros(()))
+        )
+        return checksum
 
-    _SETUP_CACHE["loop_factory"] = (make_loop, playable_vars)
-    return make_loop, playable_vars
+    _SETUP_CACHE["loop_factory"] = (loop, playable_vars)
+    return loop, playable_vars
 
 
 def bench_interactive_fps():
@@ -374,55 +515,53 @@ def bench_interactive_fps():
     5-10 fps keyboard-paced, BASELINE.md north star is >=30 fps on one chip).
     The frame is rendered the published way: NeRF features on the AE's strided
     grids (strides 4+8) + decoder upsample, all via the fused fast path.
+
+    Emits THREE lines:
+      interactive_render_fps_512x288     — render only (no dynamics)
+      interactive_loop_device_fps_512x288 — dynamics+render+u8, device side
+        (the north-star number: what a local, untunneled host observes)
+      interactive_loop_fps_512x288       — the same plus the measured host
+        fetch of the displayed uint8 frame over THIS harness's tunnel
     """
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
     from playableenvironments_tpu.render import fast
 
     scene, variables, encoding, strides, height, width = _interactive_setup()
 
-    # Device-side frame time, measured as a lax.scan chain of N sequential
-    # frames inside ONE executable (each frame's input depends on the
-    # previous frame's checksum, so nothing pipelines or folds away), with
-    # the short/long differencing every other bench uses: the harness's
-    # fixed dispatch+fetch cost (~30 ms over the tunnel — 30% of a 20-frame
-    # chain, which depressed the r03 number to 150 fps vs the ~195 fps the
-    # 2,000-frame soak resolves) appears in both chain lengths and cancels.
-    iters = int(os.environ.get("BENCH_ITERS", 20))
+    # Device-side frame time: a dynamic-length chain of sequential frames
+    # inside ONE executable (each frame's input depends on the previous
+    # frame's checksum, so nothing pipelines or folds away), timed with the
+    # short/long differencing every other bench uses: the harness's fixed
+    # dispatch+fetch cost (~30 ms over the tunnel) appears in both chain
+    # lengths and cancels. 2x BENCH_ITERS: at ~5 ms/frame a 20-frame short
+    # chain diffs ~200 ms of work against ms-scale tunnel jitter (18.9%
+    # spread observed); 40/120 frames halves the relative jitter, and chain
+    # length is a runtime argument so the extra frames cost no compile.
+    iters = 2 * BENCH_ITERS
 
-    def make_chained(n):
-        @jax.jit
-        def chained(v, enc):
-            def body(carry, _):
-                e = enc.replace(
-                    object_translations=enc.object_translations + carry * 1e-12
-                )
-                f = fast.render_frame_fast(
-                    scene, v, e, (height, width), patch_strides=strides
-                )
-                return jnp.mean(f), None
+    @jax.jit
+    def chained(v, enc, n):
+        def body(_, carry):
+            e = enc.replace(
+                object_translations=enc.object_translations + carry * 1e-12
+            )
+            f = fast.render_frame_fast(
+                scene, v, e, (height, width), patch_strides=strides
+            )
+            return jnp.mean(f)
 
-            out, _ = jax.lax.scan(body, jnp.zeros(()), length=n)
-            return out
+        return jax.lax.fori_loop(0, n, body, jnp.zeros(()))
 
-        return chained
-
-    import numpy as np
-
-    chained_short, chained_long = make_chained(iters), make_chained(3 * iters)
-    np.asarray(chained_short(variables, encoding))  # compile + warm
-    np.asarray(chained_long(variables, encoding))
-    samples = []
-    for _ in range(BENCH_REPEATS):
-        start = time.perf_counter()
-        np.asarray(chained_short(variables, encoding))
-        t_short = time.perf_counter() - start
-        start = time.perf_counter()
-        np.asarray(chained_long(variables, encoding))
-        t_long = time.perf_counter() - start
-        samples.append(max(t_long - t_short, 1e-9) / (2 * iters))
-    frame_s, spread = _median_spread(samples)
+    np.asarray(chained(variables, encoding, iters))  # compile + warm
+    np.asarray(chained(variables, encoding, 3 * iters))
+    frame_s, spread = _difference_samples(
+        lambda _a=0: chained(variables, encoding, iters),
+        lambda _a=0: chained(variables, encoding, 3 * iters),
+        iters,
+    )
     fps = 1.0 / frame_s
     # Reference interactive rate: saved play videos are encoded at 5 fps
     # (play.py:108) — the de-facto reference pace on one GPU.
@@ -436,26 +575,34 @@ def bench_interactive_fps():
     # the measured host fetch of the displayed uint8 frame. This is what
     # cli/play's generate_next loop actually executes per keypress
     # (playable_environment_model.py:295-396).
-    make_loop, playable_vars = _interactive_loop_factory(
+    loop, playable_vars = _interactive_loop_factory(
         scene, variables, encoding, strides, height, width
     )
 
+    # Same jitter math as the render chain above: ~5 ms frames need ~40
+    # frames in the short chain to keep harness jitter under a few percent.
     loop_iters = max(iters, 8)
-    short, long = make_loop(loop_iters), make_loop(3 * loop_iters)
-    np.asarray(short(variables, playable_vars, encoding))  # compile
-    np.asarray(long(variables, playable_vars, encoding))  # compile
-    step_samples = []
-    for _ in range(BENCH_REPEATS):
-        start = time.perf_counter()
-        np.asarray(short(variables, playable_vars, encoding))
-        t_short = time.perf_counter() - start
-        start = time.perf_counter()
-        np.asarray(long(variables, playable_vars, encoding))
-        t_long = time.perf_counter() - start
-        step_samples.append(
-            max(t_long - t_short, 1e-9) / (2 * loop_iters) * 1e3
-        )
-    loop_ms, loop_spread = _median_spread(step_samples)
+    np.asarray(loop(variables, playable_vars, encoding, loop_iters))  # compile
+    np.asarray(loop(variables, playable_vars, encoding, 3 * loop_iters))
+    loop_s, loop_spread = _difference_samples(
+        lambda _a=0: loop(variables, playable_vars, encoding, loop_iters),
+        lambda _a=0: loop(variables, playable_vars, encoding, 3 * loop_iters),
+        loop_iters,
+    )
+    loop_ms = loop_s * 1e3
+
+    # The device-side loop rate as its own driver metric (r04 verdict item
+    # 3): dynamics + render + u8 conversion per frame with NO host frame
+    # fetch — the number a local (untunneled) TPU host's play loop runs at,
+    # and the one the >=30 fps north star is judged on. The end-to-end line
+    # below adds this harness's tunnel fetch, which swings 3x with tunnel
+    # weather and is not a property of the framework.
+    device_fps = 1000.0 / loop_ms
+    emit(
+        "interactive_loop_device_fps_512x288", round(device_fps, 2),
+        f"frames/s (dynamics+render+u8 {loop_ms:.2f} ms/frame, no host fetch)",
+        round(device_fps / 5.0, 3), loop_spread,
+    )
 
     # Host fetch of the displayed frame (uint8 HxWx3 = 0.44 MB), the last
     # leg of the real loop. Two pitfalls on the tunneled bench harness:
@@ -464,36 +611,35 @@ def bench_interactive_fps():
     # dispatch+fetch pays a fixed ~40 ms RTT a local TPU host does not have.
     # Per the bench protocol (PERFORMANCE.md: fixed harness costs cancel)
     # the marginal frame-fetch cost is the DIFFERENCE between fetching the
-    # whole fresh frame and fetching one element of a fresh frame (same
-    # dispatch, same render — only the copied bytes differ). Raw numbers
-    # stay in the unit string.
+    # whole fresh frame and fetching one pixel of a fresh frame (same
+    # executable, same render — only the transferred bytes differ; the
+    # tunnel completes outputs lazily, so forcing only the pixel output
+    # never transfers the frame). Raw numbers stay in the unit string.
     @jax.jit
-    def one_frame_u8(v, enc, shift):
+    def frame_and_pixel(v, enc, shift):
         enc = enc.replace(
             object_translations=enc.object_translations + shift * 1e-9
         )
         frame = fast.render_frame_fast(
             scene, v, enc, (height, width), patch_strides=strides
         )
-        return (jnp.clip(frame, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+        frame_u8 = (jnp.clip(frame, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+        return frame_u8, frame_u8[..., 0, 0, :].sum()
 
-    @jax.jit
-    def one_pixel_u8(v, enc, shift):
-        return one_frame_u8(v, enc, shift)[0, 0, 0, 0, 0]
+    warm = frame_and_pixel(variables, encoding, 0.0)
+    np.asarray(warm[0]), np.asarray(warm[1])
 
-    np.asarray(one_frame_u8(variables, encoding, 0.0))  # compile + warm
-    np.asarray(one_pixel_u8(variables, encoding, 0.0))
-
-    def timed_round_trips(fn):
+    def timed_fetch(output_idx):
         samples = []
         for repeat in range(BENCH_REPEATS):
+            out = frame_and_pixel(variables, encoding, float(repeat + 1))
             start = time.perf_counter()
-            np.asarray(fn(variables, encoding, float(repeat + 1)))
+            np.asarray(out[output_idx])
             samples.append((time.perf_counter() - start) * 1e3)
         return _median_spread(samples)[0]
 
-    frame_trip_ms = timed_round_trips(one_frame_u8)
-    pixel_trip_ms = timed_round_trips(one_pixel_u8)
+    pixel_trip_ms = timed_fetch(1)
+    frame_trip_ms = timed_fetch(0)
     fetch_ms = max(frame_trip_ms - pixel_trip_ms, 0.05)
 
     loop_fps = 1000.0 / (loop_ms + fetch_ms)
@@ -509,7 +655,11 @@ def bench_interactive_fps():
 def _phase2_setup():
     """Shared published-scale phase-2 trainer/batch (bs 8, 4 obs, 144
     rays/img, bf16 fused MLPs) used by both the step benchmark and the soak
-    — ONE configuration so the soak always measures the headline setup."""
+    — ONE configuration so the soak always measures the headline setup.
+    Memoized (r04 built it twice: two trainer inits, two init_state
+    dispatches)."""
+    if "phase2" in _SETUP_CACHE:
+        return _SETUP_CACHE["phase2"]
     import dataclasses
 
     import jax
@@ -571,7 +721,9 @@ def _phase2_setup():
         video_indexes=np.zeros((bs,), np.int32),
     )
     state = trainer.init_state(jax.random.PRNGKey(0), batch)
-    return trainer, state, batch, (bs, obs, cams)
+    result = trainer, state, batch, (bs, obs, cams)
+    _SETUP_CACHE["phase2"] = result
+    return result
 
 
 def bench_train_step():
@@ -580,19 +732,19 @@ def bench_train_step():
     compute (f32 params/geometry/stats). vs_baseline converts the step's ray
     throughput against the same ~2.3e4 rays/s A100 eager-reference estimate
     as the render benchmark (module docstring)."""
-    import jax
-    import numpy as np
-
     trainer, state, batch, (bs, obs, cams) = _phase2_setup()
-    iters = int(os.environ.get("BENCH_ITERS", 20))
-    ms, spread = _chained_step_ms(trainer.train_step, state, batch, iters)
+    ms, spread = _chained_step_ms(
+        "phase2", trainer.train_step, state, batch, BENCH_ITERS
+    )
     dt = ms / 1e3
 
     rays_per_step = bs * obs * cams * 144
-    emit(
+    line = emit(
         "phase2_train_step_ms", round(ms, 1), "ms/step",
         round(rays_per_step / dt / REFERENCE_A100_RAYS_PER_SEC, 2), spread,
     )
+    _SETUP_CACHE["phase2_step_ms"] = ms
+    return line
 
 
 def _phase1_setup():
@@ -622,7 +774,7 @@ def _phase1_setup():
     images = jnp.asarray(rng.random((20, 288, 512, 3), np.float32))
     state = trainer.init_state(jax.random.PRNGKey(0), images)
     _SETUP_CACHE["phase1"] = (trainer, state, images)
-    return trainer, state, images
+    return _SETUP_CACHE["phase1"]
 
 
 def bench_phase1_step():
@@ -631,54 +783,44 @@ def bench_phase1_step():
     ~2 steps/s reference on RTX 8000 (300k steps ~= 40h, a typical
     VAE-at-this-scale rate)."""
     trainer, state, images = _phase1_setup()
-    iters = int(os.environ.get("BENCH_ITERS", 10))
-    ms, spread = _chained_step_ms(trainer.train_step, state, images, iters)
+    iters = min(BENCH_ITERS, 10)
+    ms, spread = _chained_step_ms(
+        "phase1", trainer.train_step, state, images, iters
+    )
     dt = ms / 1e3
     emit(
         "phase1_train_step_ms", round(ms, 1), "ms/step",
         round((20 / dt) / (20 * 2.0), 2), spread,
     )
+    _SETUP_CACHE["phase1_step_ms"] = ms
 
 
 def bench_phase1_soak():
     """Published-scale phase-1 soak (r3 verdict item 8): >=100 cumulative
     train steps at bs 20 @ 512x288 — the heaviest step in the framework
-    (200 ms x 300k steps at published scale) — in one chained executable,
-    with a step-time budget assert. Catches memory/shape cliffs and loss
-    blow-ups that the 10-step benchmark cannot."""
-    import jax
-    import numpy as np
-
+    (200 ms x 300k steps at published scale) — reusing the step benchmark's
+    chain executable with the state fed forward on-device (no extra
+    compiles), with a step-time budget assert. Catches memory/shape cliffs
+    and loss blow-ups that the 10-step benchmark cannot. Per-call fixed
+    harness cost is <1% of a 30-step x 200 ms call, so no differencing."""
     trainer, state, images = _phase1_setup()
 
-    steps = int(os.environ.get("BENCH_PHASE1_SOAK_STEPS", 100))
+    steps_per_call = 3 * min(BENCH_ITERS, 10)
+    calls = max(-(-int(os.environ.get("BENCH_PHASE1_SOAK_STEPS", 120)) // steps_per_call), 1)
     budget_ms = float(os.environ.get("BENCH_PHASE1_SOAK_BUDGET_MS", 300.0))
 
-    @jax.jit
-    def soak_chain(state, images, key):
-        def body(carry, k):
-            new_state, metrics = trainer.train_step(carry, images, k)
-            return new_state, metrics["loss"]
-        return jax.lax.scan(body, state, jax.random.split(key, steps))[1]
+    per_call_ms, final_loss, bad = _run_soak_chain(
+        "phase1", trainer.train_step, state, images, calls, steps_per_call
+    )
+    mean_ms, spread = _median_spread(per_call_ms)
+    total = calls * steps_per_call
 
-    # Compile + warm, then time the soak chain itself: 100 steps x ~200 ms
-    # amortizes the harness's fixed dispatch/fetch costs to <1%, so no
-    # separate short/long differencing chains (and their compiles) needed.
-    losses_np = np.asarray(soak_chain(state, images, jax.random.PRNGKey(1)))
-    samples = []
-    for repeat in range(BENCH_REPEATS):
-        start = time.perf_counter()
-        losses_np = np.asarray(
-            soak_chain(state, images, jax.random.PRNGKey(2 + repeat))
-        )
-        samples.append((time.perf_counter() - start) / steps * 1e3)
-    mean_ms, spread = _median_spread(samples)
-
-    ok = mean_ms <= budget_ms and np.isfinite(losses_np).all()
+    ok = mean_ms <= budget_ms and bad == 0.0
     emit(
         "phase1_soak_step_ms", round(mean_ms, 1),
-        f"ms/step over {steps} steps (final loss "
-        f"{float(losses_np[-1]):.4f}, budget {budget_ms}, pass={ok})",
+        f"ms/step over {total} steps (final loss "
+        f"{final_loss:.4f}, nonfinite losses {bad:.0f}, budget {budget_ms}, "
+        f"pass={ok})",
         round((20 / (mean_ms / 1e3)) / (20 * 2.0), 2),
         spread,
     )
@@ -784,12 +926,17 @@ def bench_phase3_step():
         jax.random.PRNGKey(0), encoding, {}, {}
     )
 
-    # 1000 steps/chain (3000 in the long chain): at ~0.4 ms/step the r3 runs
-    # diffed ~13 ms of work against ms-scale harness jitter and produced 46%
-    # spread — the chain must be long enough to resolve its own number
-    # (r3 verdict item 5 requires spread < 10%).
-    iters = int(os.environ.get("BENCH_PHASE3_ITERS", 1000))
-    ms, spread = _chained_step_ms(trainer.fused_step, state, encoding, iters)
+    # Long chains (default 50x BENCH_ITERS = 1000 steps, 3000 in the long
+    # chain): at ~0.4 ms/step the r3 runs diffed ~13 ms of work against
+    # ms-scale harness jitter and produced 46% spread — the chain must be
+    # long enough to resolve its own number (r3 verdict item 5 requires
+    # spread < 10%). BENCH_PHASE3_ITERS overrides; otherwise the default
+    # scales with BENCH_ITERS so harnesses that lower BENCH_ITERS to bound
+    # runtime still do (advisor r04).
+    iters = int(os.environ.get("BENCH_PHASE3_ITERS", 50 * BENCH_ITERS))
+    ms, spread = _chained_step_ms(
+        "phase3", trainer.fused_step, state, encoding, iters
+    )
     dt = ms / 1e3
     emit(
         "phase3_train_step_ms", round(ms, 2), "ms/step", round(0.5 / dt, 1),
@@ -798,37 +945,40 @@ def bench_phase3_step():
 
 
 def bench_soak():
-    """Published-scale phase-2 soak: a few hundred train steps at 512x288 /
-    bs 8 / 4 obs on the real chip, asserting the step time stays at BENCH
-    levels (memory/shape cliffs the tiny tests cannot catch)."""
-    import jax
-    import numpy as np
-
+    """Published-scale phase-2 soak: 300 cumulative train steps at 512x288 /
+    bs 8 / 4 obs on the real chip, reusing the step benchmark's chain
+    executable with state fed forward on-device, asserting the step time
+    stays at BENCH levels (memory/shape cliffs the tiny tests cannot
+    catch)."""
     trainer, state, batch, (bs, obs, cams) = _phase2_setup()
 
-    steps = int(os.environ.get("BENCH_SOAK_STEPS", 300))
+    steps_per_call = 3 * BENCH_ITERS
+    calls = max(-(-int(os.environ.get("BENCH_SOAK_STEPS", 300)) // steps_per_call), 1)
     budget_ms = float(os.environ.get("BENCH_SOAK_BUDGET_MS", 80.0))
+    total = calls * steps_per_call
 
-    # Stability: ALL soak steps in one chained executable (cumulative
-    # training on-device; forcing the per-step losses forces every step).
-    @jax.jit
-    def soak_chain(state, batch, key):
-        def body(carry, k):
-            new_state, metrics = trainer.train_step(carry, batch, k)
-            return new_state, metrics["loss"]
-        return jax.lax.scan(body, state, jax.random.split(key, steps))[1]
+    per_call_ms, final_loss, bad = _run_soak_chain(
+        "phase2", trainer.train_step, state, batch, calls, steps_per_call
+    )
 
-    losses_np = np.asarray(soak_chain(state, batch, jax.random.PRNGKey(1)))
+    # Step time from the differencing protocol: reuse the step benchmark's
+    # measurement when it ran in this process; else measure now (same cached
+    # chain executable either way).
+    mean_ms = _SETUP_CACHE.get("phase2_step_ms")
+    spread = None
+    if mean_ms is None:
+        mean_ms, spread = _chained_step_ms(
+            "phase2", trainer.train_step, state, batch, 10
+        )
+    else:
+        _, spread = _median_spread(per_call_ms)
 
-    # Step time via the two-length-difference protocol (fixed harness costs
-    # cancel; see _chained_step_ms).
-    mean_ms, spread = _chained_step_ms(trainer.train_step, state, batch, 10)
-
-    ok = mean_ms <= budget_ms and np.isfinite(losses_np).all()
+    ok = mean_ms <= budget_ms and bad == 0.0
     emit(
         "phase2_soak_step_ms", round(mean_ms, 1),
-        f"ms/step over {steps} steps (final loss "
-        f"{float(losses_np[-1]):.4f}, budget {budget_ms}, pass={ok})",
+        f"ms/step over {total} steps (final loss "
+        f"{final_loss:.4f}, nonfinite losses {bad:.0f}, budget {budget_ms}, "
+        f"pass={ok})",
         round(
             bs * obs * cams * 144 / (mean_ms / 1e3)
             / REFERENCE_A100_RAYS_PER_SEC, 2
@@ -863,31 +1013,45 @@ def bench_interactive_soak():
     """Interactive soak (r3 verdict item 8): >=2,000 generate_next frames at
     512x288 — dynamics for both players + full strided render + uint8 display
     conversion per frame, each frame data-dependent on the last — run as
-    chained chunks, asserting (a) per-frame time stays steady chunk-over-chunk
-    and (b) device/host memory is flat after warmup (leak/fragmentation over
-    thousands of frames, the failure mode cli/play's long sessions would hit;
-    reference scale: play.py:206-275)."""
+    chunks of repeated loop-executable calls (exactly what a long cli/play
+    session dispatches), asserting (a) per-frame time stays steady
+    chunk-over-chunk and (b) device/host memory is flat after warmup
+    (leak/fragmentation over thousands of frames; reference scale:
+    play.py:206-275). Reuses the fps benchmark's loop executable — no
+    additional compiles."""
     import numpy as np
 
     scene, variables, encoding, strides, height, width = _interactive_setup()
-    make_loop, playable_vars = _interactive_loop_factory(
+    loop, playable_vars = _interactive_loop_factory(
         scene, variables, encoding, strides, height, width
     )
 
     chunks = int(os.environ.get("BENCH_INTERACTIVE_SOAK_CHUNKS", 4))
-    chunk_frames = int(os.environ.get("BENCH_INTERACTIVE_SOAK_FRAMES", 500))
-    loop = make_loop(chunk_frames)
+    frames_per_call = 3 * max(BENCH_ITERS, 8)
+    calls_per_chunk = max(
+        -(-int(os.environ.get("BENCH_INTERACTIVE_SOAK_FRAMES", 500))
+          // frames_per_call),
+        1,
+    )
 
-    checksum = np.asarray(loop(variables, playable_vars, encoding))  # compile
+    checksum = np.asarray(
+        loop(variables, playable_vars, encoding, frames_per_call)
+    )  # compile/warm
     assert np.isfinite(checksum).all(), "non-finite frames in warmup chunk"
     dev0, host0 = _memory_snapshot()
 
     frame_ms = []
     for _ in range(chunks):
         start = time.perf_counter()
-        checksum = np.asarray(loop(variables, playable_vars, encoding))
-        frame_ms.append((time.perf_counter() - start) / chunk_frames * 1e3)
-        assert np.isfinite(checksum).all(), "non-finite frames in soak chunk"
+        for call in range(calls_per_chunk):
+            checksum = np.asarray(
+                loop(variables, playable_vars, encoding, frames_per_call)
+            )
+            assert np.isfinite(checksum).all(), "non-finite frames in soak"
+        frame_ms.append(
+            (time.perf_counter() - start) / (calls_per_chunk * frames_per_call)
+            * 1e3
+        )
     dev1, host1 = _memory_snapshot()
 
     median_ms, spread = _median_spread(frame_ms)
@@ -904,12 +1068,13 @@ def bench_interactive_soak():
     )
     ok = steady and flat
 
-    total = chunks * chunk_frames
+    total = chunks * calls_per_chunk * frames_per_call
     fps = 1000.0 / median_ms
     emit(
         "interactive_soak_frame_ms", round(median_ms, 2),
         f"ms/frame over {total} generate_next frames in {chunks} chunks "
-        f"(chunk range {min(frame_ms):.2f}-{max(frame_ms):.2f} ms, device "
+        f"(incl. per-call dispatch; chunk range {min(frame_ms):.2f}-"
+        f"{max(frame_ms):.2f} ms, device "
         f"mem delta {device_delta if device_delta is not None else 'n/a'} B, "
         f"host maxrss delta {host_delta_mb:.1f} MB, pass={ok})",
         round(fps / 5.0, 3), spread,
@@ -972,7 +1137,6 @@ def bench_render_headline(emit_line=True):
             "batch_stats": {"composer": variables.get("batch_stats", {})},
         }
 
-        @jax.jit
         def render(v, dirs):
             out = fast.render_rays_fast(
                 scene, v, origins, dirs, normals, w2o, style, deformation,
@@ -983,7 +1147,6 @@ def bench_render_headline(emit_line=True):
         variables = fast_variables
     else:
 
-        @jax.jit
         def render(v, dirs):
             out = composer.apply(
                 v, origins, dirs, normals, w2o, style, deformation, in_scene,
@@ -995,39 +1158,32 @@ def bench_render_headline(emit_line=True):
 
     # Device-side chain: each iteration's directions are perturbed by the
     # previous result's checksum so nothing folds, pipelines, or could be
-    # memoized by the harness (see bench_interactive_fps). Timed as the
-    # DIFFERENCE of two chain lengths (n and 3n) like every other metric:
-    # a same-session sweep (r04) measured chain time = n x 5.75 ms + 30.5 ms
-    # — a fixed ~30 ms tunnel dispatch+fetch cost that at the old n=10
-    # inflated per-ray time by ~60% (9.52 -> 5.90 ms/iter from n=10 to
-    # n=200) and whose session-to-session variance was the r01->r03 "drift".
-    # Differencing cancels it exactly, leaving pure device compute.
+    # memoized by the harness. Timed as the DIFFERENCE of two chain lengths
+    # (n and 3n) like every other metric: a same-session sweep (r04)
+    # measured chain time = n x 5.75 ms + 30.5 ms — a fixed ~30 ms tunnel
+    # dispatch+fetch cost that at the old n=10 inflated per-ray time by
+    # ~60% (9.52 -> 5.90 ms/iter from n=10 to n=200) and whose
+    # session-to-session variance was the r01->r03 "drift". Differencing
+    # cancels it exactly, leaving pure device compute. ONE executable: the
+    # chain length is a runtime fori_loop bound.
     import numpy as np
 
-    def make_chained(n):
-        @jax.jit
-        def chained(v, dirs):
-            def body(carry, _):
-                out = render(v, dirs + carry * 1e-12)
-                return jnp.mean(out), None
-            out, _ = jax.lax.scan(body, jnp.zeros(()), length=n)
-            return out
+    @jax.jit
+    def chained(v, dirs, n):
+        def body(_, carry):
+            out = render(v, dirs + carry * 1e-12)
+            return jnp.mean(out)
 
-        return chained
+        return jax.lax.fori_loop(0, n, body, jnp.zeros(()))
 
-    chained_short, chained_long = make_chained(iters), make_chained(3 * iters)
-    np.asarray(chained_short(variables, directions))  # compile + warm
-    np.asarray(chained_long(variables, directions))
-    samples = []
-    for _ in range(BENCH_REPEATS):
-        start = time.perf_counter()
-        np.asarray(chained_short(variables, directions))
-        t_short = time.perf_counter() - start
-        start = time.perf_counter()
-        np.asarray(chained_long(variables, directions))
-        t_long = time.perf_counter() - start
-        samples.append(rays * 2 * iters / max(t_long - t_short, 1e-9))
-    rays_per_sec, spread = _median_spread(samples)
+    np.asarray(chained(variables, directions, iters))  # compile + warm
+    np.asarray(chained(variables, directions, 3 * iters))
+    seconds_per_iter, spread = _difference_samples(
+        lambda _a=0: chained(variables, directions, iters),
+        lambda _a=0: chained(variables, directions, 3 * iters),
+        iters,
+    )
+    rays_per_sec = rays / seconds_per_iter
 
     line = {
         "metric": "nerf_render_rays_per_sec_per_chip",
@@ -1039,11 +1195,53 @@ def bench_render_headline(emit_line=True):
         "env": _environment_tag(),
     }
     if emit_line:
-        print(json.dumps(line))
+        print(json.dumps(line), flush=True)
     return line
 
 
+# Default-invocation schedule: (name, fn, estimated wall seconds on the
+# tunneled v5e — compile-dominated, measured 2026-08-20). Interactive
+# benches run before the train-step benches so their pinned setups are
+# evicted before the big train states allocate (advisor r04: cache
+# residency changed the measurement environment of later benches).
+def _default_schedule():
+    return [
+        ("interactive_fps", bench_interactive_fps, 150.0, ()),
+        ("interactive_soak", bench_interactive_soak, 30.0,
+         ("interactive", "loop_factory")),
+        ("phase1_step", bench_phase1_step, 90.0, ()),
+        ("phase1_soak", bench_phase1_soak, 40.0, ("phase1", "chain/phase1")),
+        ("phase2_train_step", bench_train_step, 90.0, ()),
+        ("phase2_soak", bench_soak, 25.0,
+         ("phase2", "chain/phase2", "phase2_step_ms")),
+        ("phase3_train_step", bench_phase3_step, 60.0, ()),
+    ]
+
+
+_PENDING = []
+_HEADLINE = None
+
+
+def _print_tail(reason=None):
+    """Print skip lines for everything still pending, then the headline
+    (the driver parses the LAST line). Used by both the normal exit path
+    (atexit) and the SIGTERM net."""
+    for name in list(_PENDING):
+        _PENDING.remove(name)
+        emit_skip(name, reason or "not reached")
+    if _HEADLINE is not None:
+        print(json.dumps(_HEADLINE), flush=True)
+
+
+def _sigterm_net(signum, frame):  # pragma: no cover - driver-timeout path
+    _print_tail(reason="SIGTERM (driver timeout) before this bench ran")
+    sys.stdout.flush()
+    os._exit(0)
+
+
 def main():
+    global _HEADLINE
+    _enable_compilation_cache()
     mode = os.environ.get("BENCH_MODE", "")
     if mode == "fps":
         return bench_interactive_fps()
@@ -1063,24 +1261,42 @@ def main():
         return bench_render_headline()
 
     # Default invocation (the driver's): the headline rays/s is measured
-    # FIRST — alone in a cold process state, the round-1 protocol — but its
-    # line prints LAST so the driver's single-line parse stays on the
-    # round-1 metric. Then every mode incl. the three soaks (r2 verdict
-    # items 1+3; r3 verdict item 8 adds the phase-1 and interactive soaks).
-    headline = bench_render_headline(emit_line=False)
-    for fn in (bench_phase1_step, bench_train_step, bench_phase3_step,
-               bench_interactive_fps, bench_soak, bench_phase1_soak,
-               bench_interactive_soak):
+    # FIRST — alone in a cold process state, the round-1 protocol — and its
+    # line prints IMMEDIATELY (r04's capture was killed mid-run and the
+    # save-the-headline-for-last ordering lost it entirely), then again
+    # LAST via _print_tail so the driver's single-line parse stays on the
+    # round-1 metric. Then every mode incl. the three soaks, each gated on
+    # the remaining wall budget with an explicit skip line when it cannot
+    # fit, and a SIGTERM net so even a hard driver timeout leaves a full
+    # record.
+    schedule = _default_schedule()
+    _PENDING.extend(name for name, _, _, _ in schedule)
+    signal.signal(signal.SIGTERM, _sigterm_net)
+    atexit.register(_print_tail)
+
+    _HEADLINE = bench_render_headline(emit_line=True)
+    for name, fn, est_s, evict_after in schedule:
+        _PENDING.remove(name)
+        if _remaining_s() < est_s:
+            emit_skip(
+                name,
+                f"{_remaining_s():.0f}s of BENCH_DEADLINE_S="
+                f"{BENCH_DEADLINE_S:.0f} left < est {est_s:.0f}s",
+            )
+            continue
         try:
             fn()
-        # SystemExit included: bench_soak raises it on a budget failure, and
-        # the headline line must still print last for the driver's parse.
+        # SystemExit included: the soaks raise it on a budget failure, and
+        # the remaining benches + headline must still print for the
+        # driver's parse.
         except (Exception, SystemExit) as error:  # pragma: no cover
             print(json.dumps({
-                "metric": f"{fn.__name__}_error", "value": 0,
+                "metric": f"{name}_error", "value": 0,
                 "unit": str(error)[:200], "vs_baseline": 0,
-            }))
-    print(json.dumps(headline))
+            }), flush=True)
+        finally:
+            _evict_setup(*evict_after)
+    # atexit prints the headline line last.
 
 
 if __name__ == "__main__":

@@ -172,20 +172,22 @@ def _evict_setup(*names):
 
 def _train_chain(step_fn):
     """ONE jitted chain executable with the step count as a runtime
-    argument: `chain(state, data, key, n)` runs n sequential train steps
-    (fori_loop; fresh fold_in key per step) and returns
+    argument: `chain(state, data, keys, n)` runs n sequential train steps
+    (fori_loop over PRE-SPLIT per-step keys, matching the production CLIs'
+    scan-over-split-keys dispatch — a per-step fold_in would add ~0.1 ms of
+    threefry per step, 30% of the phase-3 metric) and returns
     (final_state, [final_loss, nonfinite_loss_count]). The short/long
-    differencing protocol then reuses a single compile for both lengths,
-    and soaks extend the same executable by feeding the returned state
-    forward — no extra compiles."""
+    differencing protocol reuses a single compile for both lengths, and
+    soaks extend the same executable by feeding the returned state forward
+    — no extra compiles."""
     import jax
     import jax.numpy as jnp
 
     @jax.jit
-    def chain(state, data, key, n):
+    def chain(state, data, keys, n):
         def body(i, carry):
             st, _, bad = carry
-            new_state, metrics = step_fn(st, data, jax.random.fold_in(key, i))
+            new_state, metrics = step_fn(st, data, keys[i])
             loss = metrics["loss"]
             bad = bad + jnp.logical_not(jnp.isfinite(loss)).astype(jnp.float32)
             return (new_state, loss, bad)
@@ -211,12 +213,16 @@ def _chained_step_ms(name, step_fn, state, data, iters, repeats=None):
         _SETUP_CACHE[f"chain/{name}"] = chain
 
     def run(n, base):
-        # Fresh key per timed attempt (the r03+ protocol: nothing the
-        # harness could memoize repeats between samples).
+        # Fresh keys per timed attempt (the r03+ protocol: nothing the
+        # harness could memoize repeats between samples). The key ARRAY is
+        # always 3*iters long — its shape is part of the executable's
+        # signature, and both chain lengths (and the soak, whose
+        # steps_per_call is also 3*iters) must share one compile.
         def go(attempt=0):
-            return chain(
-                state, data, jax.random.PRNGKey(base + attempt), n
-            )[1]
+            keys = jax.random.split(
+                jax.random.PRNGKey(base + attempt), 3 * iters
+            )
+            return chain(state, data, keys, n)[1]
 
         return go
 
@@ -240,14 +246,20 @@ def _run_soak_chain(name, step_fn, state, data, calls, steps_per_call):
     if chain is None:
         chain = _train_chain(step_fn)
         _SETUP_CACHE[f"chain/{name}"] = chain
-    np.asarray(chain(state, data, jax.random.PRNGKey(0), steps_per_call)[1])
+
+    def call_keys(seed):
+        # steps_per_call == the step benchmark's 3*iters, so the key-array
+        # shape (part of the executable signature) matches its compile.
+        return jax.random.split(jax.random.PRNGKey(seed), steps_per_call)
+
+    np.asarray(chain(state, data, call_keys(0), steps_per_call)[1])
 
     per_call_ms = []
     stats = None
     for call in range(calls):
         start = time.perf_counter()
         state, stats = chain(
-            state, data, jax.random.PRNGKey(10 + call), steps_per_call
+            state, data, call_keys(10 + call), steps_per_call
         )
         stats = np.asarray(stats)  # forces the whole call's compute
         per_call_ms.append(

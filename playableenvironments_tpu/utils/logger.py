@@ -23,6 +23,9 @@ class Logger:
         self._metrics_file = open(
             os.path.join(output_dir, "metrics.jsonl"), "a", buffering=1
         )
+        self._log_file = open(
+            os.path.join(output_dir, "log.txt"), "a", buffering=1
+        )
         self._wandb = None
         if use_wandb:
             try:
@@ -55,8 +58,10 @@ class Logger:
 
     def print(self, message: str):
         print(message, flush=True)
+        self._log_file.write(f"{time.strftime('%Y-%m-%d %H:%M:%S')} {message}\n")
 
     def close(self):
         self._metrics_file.close()
+        self._log_file.close()
         if self._wandb is not None:
             self._wandb.finish()

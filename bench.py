@@ -174,8 +174,8 @@ def _train_chain(step_fn):
     """ONE jitted chain executable with the step count as a runtime
     argument: `chain(state, data, keys, n)` runs n sequential train steps
     (fori_loop over PRE-SPLIT per-step keys, matching the production CLIs'
-    scan-over-split-keys dispatch — a per-step fold_in would add ~0.1 ms of
-    threefry per step, 30% of the phase-3 metric) and returns
+    scan-over-split-keys dispatch; measured indistinguishable from both a
+    per-step fold_in and a fixed-length scan at phase-3 scale) and returns
     (final_state, [final_loss, nonfinite_loss_count]). The short/long
     differencing protocol reuses a single compile for both lengths, and
     soaks extend the same executable by feeding the returned state forward
@@ -226,8 +226,8 @@ def _chained_step_ms(name, step_fn, state, data, iters, repeats=None):
 
         return go
 
-    np.asarray(run(iters, 1)())  # compile (one executable) + warm
-    np.asarray(run(3 * iters, 1)())  # warm the long length
+    np.asarray(run(iters, 1)())  # compile + warm
+    np.asarray(run(3 * iters, 1)())
     seconds, spread = _difference_samples(
         run(iters, 100), run(3 * iters, 200), iters, repeats
     )

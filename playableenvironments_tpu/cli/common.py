@@ -439,7 +439,17 @@ def run_synthesis_training(
                 state = replicate(state, mesh)
                 logger.print(f"autoencoder warm-started from {ae_ckpt}")
 
-        step_fn = jax.jit(trainer.train_step, donate_argnums=0)
+        from playableenvironments_tpu.parallel import compile_barrier
+
+        # Compile on every process BEFORE the first dispatch (multi-process:
+        # the first step's psum creates its Gloo/ICI context under a 30 s
+        # rendezvous deadline that compile skew can blow — see
+        # parallel.mesh.compile_barrier).
+        step_fn = compile_barrier(
+            jax.jit(trainer.train_step, donate_argnums=0),
+            state, example,
+            jax.random.fold_in(jax.random.PRNGKey(seed), int(state.step)),
+        )
         log_interval = int(cfg["training"].get("log_interval_steps", 10))
         save_freq = int(cfg["training"].get("save_freq", 30000))
         quick_save_freq = int(cfg["training"].get("quick_save_freq", 500))

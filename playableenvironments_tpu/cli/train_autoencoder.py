@@ -109,7 +109,15 @@ def main():
         logger.print(f"resumed from {resume_from}")
     state = replicate(state, mesh)
 
-    step_fn = jax.jit(trainer.train_step, donate_argnums=0)
+    from playableenvironments_tpu.parallel import compile_barrier
+
+    # Compile on every process before the first dispatch (see
+    # parallel.mesh.compile_barrier: the first psum's context creation runs
+    # under a 30 s rendezvous deadline that compile skew can blow).
+    step_fn = compile_barrier(
+        jax.jit(trainer.train_step, donate_argnums=0),
+        state, example, jax.random.PRNGKey(args.seed),
+    )
     meter = AverageMeter()
     log_interval = int(t.get("log_interval_steps", 10))
     save_freq = int(t.get("save_freq", 30000))

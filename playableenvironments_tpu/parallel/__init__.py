@@ -2,6 +2,7 @@
 
 from playableenvironments_tpu.parallel.mesh import (
     batch_sharding,
+    compile_barrier,
     constrain_ray_axis,
     create_2d_mesh,
     create_mesh,

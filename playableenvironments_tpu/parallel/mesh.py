@@ -107,6 +107,38 @@ def warmup_collectives():
     multihost_utils.sync_global_devices("pe:collective_warmup")
 
 
+def compile_barrier(jitted, *example_args, tag: str = "pe:step_compiled"):
+    """AOT-compile a jitted train step on every process, then barrier, and
+    return the compiled executable to dispatch.
+
+    `warmup_collectives` covers the communicator the warmup collective
+    itself uses, but a train step's psum can create a DIFFERENT backend
+    context (keyed by device set and local-participant layout), and that
+    creation runs under the same fixed rendezvous deadline (30 s for CPU
+    Gloo). Dispatching a freshly-jitted step lets per-process compile skew
+    — a compilation-cache hit on one host and a miss on another, or a
+    shared-CPU CI box serializing both compiles — blow the deadline at the
+    FIRST step (observed: Gloo `GetKeyValue() timed out` on the 2-process
+    x 4-device layout). Compiling ahead of time and syncing afterwards puts
+    every process within milliseconds of the first dispatch.
+
+    Single-process: returns `jitted` unchanged (keeps normal jit dispatch).
+    The example args are only traced/lowered, never executed, so donation
+    declared on `jitted` takes effect on the returned executable's calls,
+    and all later calls must match the example shapes (training batches are
+    fixed-shape by construction here).
+    """
+    import jax
+
+    if jax.process_count() <= 1:
+        return jitted
+    compiled = jitted.lower(*example_args).compile()
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices(tag)
+    return compiled
+
+
 def replicate(tree: Any, mesh: Mesh) -> Any:
     """Replicate a pytree (parameters, train state) on every device.
 

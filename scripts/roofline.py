@@ -10,7 +10,7 @@ the binding roofline. Prints one JSON line per workload.
 Run on the real chip: `python scripts/roofline.py [headline phase1 phase2]`.
 The measured times can be passed as `MEASURED_HEADLINE_MS` (per chain
 iteration), `MEASURED_PHASE1_MS`, `MEASURED_PHASE2_MS` env vars; defaults
-are the r05 driver-capture values.
+are the r05 canonical session record (docs/bench_r05_session_cold.log).
 
 v5e peaks (public spec): 197 TFLOP/s bf16 (394 with int8; f32 ~49), HBM
 819 GB/s.
@@ -103,7 +103,7 @@ def roofline_headline():
         return out["coarse"]["global"]["integrated_features"]
 
     lowered = jax.jit(render).lower(fast_variables, directions)
-    measured = float(os.environ.get("MEASURED_HEADLINE_MS", 5.71))
+    measured = float(os.environ.get("MEASURED_HEADLINE_MS", 5.70))
     return _analyze("headline_render_16384_rays", lowered, measured_ms=measured)
 
 
@@ -116,7 +116,7 @@ def roofline_phase2():
     lowered = jax.jit(trainer.train_step).lower(
         state, batch, jax.random.PRNGKey(0)
     )
-    measured = float(os.environ.get("MEASURED_PHASE2_MS", 34.1))
+    measured = float(os.environ.get("MEASURED_PHASE2_MS", 33.9))
     return _analyze("phase2_train_step", lowered, measured_ms=measured)
 
 

@@ -123,3 +123,31 @@ def test_default_schedule_names_are_unique_and_estimated():
     names = [name for name, _, _, _ in schedule]
     assert len(names) == len(set(names)) == 7
     assert all(est > 0 for _, _, est, _ in schedule)
+
+
+def test_difference_samples_remeasures_stall_outliers():
+    # One sample absorbing a harness stall (100x the others) is discarded
+    # and re-measured; the final set is consistent.
+    pairs = iter([
+        (1.0, 2.0),
+        (1.0, 102.0),  # multi-minute tunnel stall in the long chain
+        (1.0, 2.0),
+        (1.0, 2.0),
+    ])
+    current = {}
+
+    def short(attempt=0):
+        current["pair"] = next(pairs)
+        return current["pair"][0]
+
+    def long(attempt=0):
+        return current["pair"][1]
+
+    real_timer = bench._timed_force
+    bench._timed_force = lambda fn, attempt=0: fn(attempt)
+    try:
+        seconds, spread = bench._difference_samples(short, long, 10, repeats=3)
+    finally:
+        bench._timed_force = real_timer
+    assert abs(seconds - 1.0 / 20.0) < 1e-12
+    assert spread == 0.0

@@ -107,6 +107,27 @@ def roofline_headline():
     return _analyze("headline_render_16384_rays", lowered, measured_ms=measured)
 
 
+def roofline_interactive():
+    """One interactive 512x288 frame (strided grids + decoder, bf16) — the
+    exact render inside the fps benchmark's chain body."""
+    import jax
+
+    from playableenvironments_tpu.render import fast
+
+    scene, variables, encoding, strides, height, width = (
+        bench._interactive_setup()
+    )
+
+    def render(v, enc):
+        return fast.render_frame_fast(
+            scene, v, enc, (height, width), patch_strides=strides
+        )
+
+    lowered = jax.jit(render).lower(variables, encoding)
+    measured = float(os.environ.get("MEASURED_INTERACTIVE_MS", 4.98))
+    return _analyze("interactive_frame_512x288", lowered, measured_ms=measured)
+
+
 def roofline_phase2():
     """The phase-2 train step at published scale (bs 8 / 4 obs / 144
     rays/img, full losses, Adam) — the exact step bench_train_step chains."""
@@ -135,9 +156,10 @@ def roofline_phase1():
 
 def main():
     bench._enable_compilation_cache()
-    which = sys.argv[1:] or ["headline", "phase2", "phase1"]
+    which = sys.argv[1:] or ["headline", "interactive", "phase2", "phase1"]
     for name in which:
         {"headline": roofline_headline,
+         "interactive": roofline_interactive,
          "phase1": roofline_phase1,
          "phase2": roofline_phase2}[name]()
 

@@ -162,7 +162,14 @@ def _difference_samples(run_short, run_long, iters, repeats=None):
         ordered = sorted(samples)
         if ordered[-1] <= 5 * ordered[0]:
             break  # a consistent set
-        samples.remove(ordered[-1])  # stall-suspect; re-measure
+        # Stall-suspect: drop whichever extreme sits ratio-farther from the
+        # median (a stall can inflate a sample — pause in the long chain —
+        # or deflate one — pause in the short chain) and re-measure.
+        median = ordered[len(ordered) // 2]
+        if ordered[-1] / median >= median / max(ordered[0], 1e-300):
+            samples.remove(ordered[-1])
+        else:
+            samples.remove(ordered[0])
     if len(samples) < min(2, repeats):
         raise NonPositiveDifference(
             f"{attempts} attempts produced only {len(samples)} positive "

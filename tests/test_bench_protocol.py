@@ -151,3 +151,31 @@ def test_difference_samples_remeasures_stall_outliers():
         bench._timed_force = real_timer
     assert abs(seconds - 1.0 / 20.0) < 1e-12
     assert spread == 0.0
+
+
+def test_difference_samples_remeasures_deflated_outliers():
+    # A stall in the SHORT chain deflates one sample toward zero; the
+    # filter must drop the small outlier, not evict the good samples.
+    pairs = iter([
+        (1.0, 2.0),
+        (1.99, 2.0),  # stalled short chain -> near-zero positive diff
+        (1.0, 2.0),
+        (1.0, 2.0),
+    ])
+    current = {}
+
+    def short(attempt=0):
+        current["pair"] = next(pairs)
+        return current["pair"][0]
+
+    def long(attempt=0):
+        return current["pair"][1]
+
+    real_timer = bench._timed_force
+    bench._timed_force = lambda fn, attempt=0: fn(attempt)
+    try:
+        seconds, spread = bench._difference_samples(short, long, 10, repeats=3)
+    finally:
+        bench._timed_force = real_timer
+    assert abs(seconds - 1.0 / 20.0) < 1e-12
+    assert spread == 0.0

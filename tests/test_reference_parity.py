@@ -17,7 +17,10 @@ reproduce the integrated features/alphas/depths end to end:
 - sort-merge composition vs the repo's sort-free transmittance
 - fix_object_overlaps=True (object_composer.py:220-293) + skybox, the
   Minecraft semantics
+- the coarse->fine hierarchical pass (separate and shared fine weights)
 - the full observations->encoders->poses->rays->composer chain
+- the pose/keypoint-consistency forwards (random sampling collapsed to a
+  deterministic ray via a one-pixel box / coincident keypoints)
 
 The reference code is CUDA-hardwired (`.cuda()` tensor calls) and uses the
 removed `np.bool` alias; a test-local shim maps both to CPU equivalents.
@@ -888,3 +891,327 @@ def test_environment_model_full_chain_parity(cpu_reference):
         ref_out["coarse"]["global"]["opacity"].numpy(),
         atol=2e-3, rtol=2e-3, err_msg="opacity",
     )
+
+
+def _consistency_setup(cpu_reference):
+    """Shared ref/repo EnvironmentModel pair (converted weights) + the tiny
+    raised-camera scene geometry, for the pose/keypoint-consistency oracle
+    tests. Mirrors the full-chain test's construction."""
+    import dataclasses
+
+    import torch
+
+    _install_torchvision_stub()
+    from model.environment_model import EnvironmentModel as RefEnvironmentModel
+
+    from playableenvironments_tpu.compat.torch_import import (
+        convert_environment_model,
+    )
+    from playableenvironments_tpu.config import (
+        ObjectEncoderConfig,
+        ParameterEncoderConfig,
+    )
+    from playableenvironments_tpu.render.environment_model import (
+        EnvironmentModel,
+    )
+
+    features = 8
+    background = _ref_object_model(
+        ((-12.0, 12.0), (-12.0, 12.0), (-1.0, 0.0)), 6, features, "zeroed"
+    )
+    player = _ref_object_model(
+        ((-0.75, 0.75), (-0.5, 0.5), (0.0, 2.0)), 10, features, "positional"
+    )
+    zero_range = [[[0.0, 0.0], [0.0, 0.0], [0.0, 0.0]]]
+    parameter_encoders = [
+        {
+            "architecture": "model.static_object_parameters_encoder",
+            "objects_count": 1,
+            "translation_range": zero_range,
+            "rotation_range": zero_range,
+        },
+        {
+            "architecture": "model.classic_object_parameters_encoder",
+            "objects_count": 1,
+            "translation_range": [[[-8.0, 8.0], [-8.0, 8.0], [0.01, 0.01]]],
+            "rotation_range": zero_range,
+        },
+    ]
+    object_encoders = [
+        {
+            "architecture": "model.object_encoder_v5",
+            "input_size": [32, 32],
+            "style_features": STYLE_FEATURES,
+            "deformation_features": DEFORMATION_FEATURES,
+        },
+        {
+            "architecture": "model.object_encoder_v4",
+            "input_size": [16, 16],
+            "style_features": STYLE_FEATURES,
+            "deformation_features": DEFORMATION_FEATURES,
+        },
+    ]
+    config = _ref_config(
+        [background, player], 1, False, False,
+        parameter_encoders=parameter_encoders,
+        object_encoders=object_encoders,
+        extra_model={
+            "use_weighted_sampling": False,
+            "sampling_weights": [0.5, 0.5],
+            "enable_camera_parameters_offsets": False,
+            "camera_parameters_memory_size": 4,
+        },
+        extra_top={
+            "data": {"focal_length_multiplier": 1.0},
+            "training": {"batching": {"allowed_cameras": [0]}},
+        },
+    )
+    torch.manual_seed(1)
+    ref_model = RefEnvironmentModel(config)
+    ref_model.eval()
+    with torch.no_grad():
+        for om in ref_model.object_composer.object_models_coarse:
+            om.nerf_model.alpha_head.bias += 1.5
+
+    scene = _repo_scene([background, player], 1, False, False)
+    scene = dataclasses.replace(
+        scene,
+        use_weighted_sampling=False,
+        parameter_encoders=(
+            ParameterEncoderConfig(kind="static", objects_count=1),
+            ParameterEncoderConfig(
+                kind="classic",
+                objects_count=1,
+                translation_range=(((-8.0, 8.0), (-8.0, 8.0), (0.01, 0.01)),),
+                rotation_range=(((0.0, 0.0), (0.0, 0.0), (0.0, 0.0)),),
+            ),
+        ),
+        object_encoders=(
+            ObjectEncoderConfig(
+                kind="v5", input_size=(32, 32),
+                style_features=STYLE_FEATURES,
+                deformation_features=DEFORMATION_FEATURES,
+            ),
+            ObjectEncoderConfig(
+                kind="v4", input_size=(16, 16),
+                style_features=STYLE_FEATURES,
+                deformation_features=DEFORMATION_FEATURES,
+            ),
+        ),
+    )
+    params, stats = convert_environment_model(
+        _torch_state(ref_model), scene, cameras_count=1
+    )
+    repo_model = EnvironmentModel(scene, focal_length_multiplier=1.0)
+    return ref_model, repo_model, {"params": params, "batch_stats": stats}
+
+
+def _consistency_inputs():
+    """Geometry + pose/latent tensors shared by both consistency tests:
+    a raised pitched camera over a player standing at the world origin."""
+    rng = np.random.default_rng(7)
+    batch, T, cams, height, width = 1, 2, 1, 12, 16
+    camera_rotations = np.zeros((batch, T, cams, 3), np.float32)
+    camera_rotations[..., 0] = -0.6
+    camera_translations = np.zeros((batch, T, cams, 3), np.float32)
+    camera_translations[..., 1] = 8.0
+    camera_translations[..., 2] = 10.0
+    focals = np.full((batch, T, cams), 20.0, np.float32)
+    object_rotations = np.zeros((batch, T, 2, 3), np.float32)
+    object_translations = np.zeros((batch, T, 2, 3), np.float32)
+    style = rng.normal(size=(batch, T, 2, STYLE_FEATURES)).astype(np.float32)
+    deformation = rng.normal(
+        size=(batch, T, 2, DEFORMATION_FEATURES)
+    ).astype(np.float32)
+    return (batch, T, cams, height, width, camera_rotations,
+            camera_translations, focals, object_rotations,
+            object_translations, style, deformation)
+
+
+def _repo_encoding(inputs):
+    from playableenvironments_tpu.scene.encoding import SceneEncoding
+
+    (batch, T, cams, height, width, camera_rotations, camera_translations,
+     focals, object_rotations, object_translations, style,
+     deformation) = inputs
+    return SceneEncoding(
+        camera_rotations=jnp.asarray(camera_rotations),
+        camera_translations=jnp.asarray(camera_translations),
+        focals=jnp.asarray(focals),
+        object_rotations=jnp.asarray(object_rotations),
+        object_translations=jnp.asarray(object_translations),
+        object_style=jnp.asarray(style),
+        object_deformation=jnp.asarray(deformation),
+        object_in_scene=jnp.ones((batch, T, 2), dtype=bool),
+    )
+
+
+def test_pose_consistency_parity(cpu_reference):
+    """forward_pose_consistency as a reference oracle
+    (environment_model.py:1197-1361). The box-weighted ray sampling is
+    random on both sides (torch global RNG vs explicit keys), so the box is
+    collapsed to ONE pixel: every drawn sample becomes the same ray on both
+    sides and the outputs — flow-matched expected 3D first-surface
+    positions in frames t and t+1 — are deterministic and comparable
+    elementwise."""
+    import torch
+
+    ref_model, repo_model, variables = _consistency_setup(cpu_reference)
+    inputs = _consistency_inputs()
+    (batch, T, cams, height, width, camera_rotations, camera_translations,
+     focals, object_rotations, object_translations, style,
+     deformation) = inputs
+
+    # One-pixel box at (row 8, col 8) — on the player as seen by this
+    # camera (the base-to-head axis projects to rows 7.5-9.8 at col 8);
+    # floor/ceil of the denormalized edges reproduce exactly this pixel on
+    # both sides.
+    box = np.asarray(
+        [8 / width, 8 / height, 9 / width, 9 / height], np.float32
+    )
+    boxes = np.broadcast_to(box, (batch, T, cams, 1, 4)).copy()
+    validity = np.ones((batch, T, cams, 1), bool)
+
+    # Constant flow of exactly (+1 row, -1 col) pixels, normalized: the
+    # matched next-frame position lands on another exact pixel center, so
+    # the continuous resampling interpolates trivially on both sides.
+    flow = np.zeros((batch, T, cams, height, width, 2), np.float32)
+    flow[..., 0] = 1.0 / height
+    flow[..., 1] = -1.0 / width
+
+    samples = 6
+    frames = np.zeros((batch, T), np.int64)
+    with torch.no_grad():
+        ref_out = ref_model.forward_pose_consistency(
+            torch.from_numpy(np.moveaxis(flow, -1, -3)).contiguous(),
+            torch.from_numpy(camera_rotations),
+            torch.from_numpy(camera_translations),
+            torch.from_numpy(focals),
+            torch.from_numpy(np.moveaxis(boxes, -2, -1)).contiguous(),
+            torch.from_numpy(validity),
+            torch.from_numpy(frames),
+            torch.from_numpy(frames),
+            torch.zeros((batch,), dtype=torch.int64),
+            torch.from_numpy(np.moveaxis(style, -2, -1)).contiguous(),
+            torch.from_numpy(np.moveaxis(deformation, -2, -1)).contiguous(),
+            torch.from_numpy(np.moveaxis(object_rotations, -2, -1)).contiguous(),
+            torch.from_numpy(np.moveaxis(object_translations, -2, -1)).contiguous(),
+            samples_per_image=samples,
+            perturb=False,
+        )
+
+    encoding = _repo_encoding(inputs)
+    repo_out = repo_model.apply(
+        variables,
+        encoding,
+        jnp.asarray(flow),
+        jnp.asarray(boxes),
+        jnp.asarray(validity),
+        samples,
+        perturb=False,
+        train=False,
+        method=repo_model.forward_pose_consistency,
+        rngs={"sampling": jax.random.PRNGKey(0)},
+    )
+
+    ref_prev = ref_out["coarse"]["dynamic_object_0"][0][0].numpy()
+    ref_next = ref_out["coarse"]["dynamic_object_0"][1][0].numpy()
+    repo_prev, repo_next = (
+        np.asarray(repo_out["coarse"]["dynamic_object_0"][0]),
+        np.asarray(repo_out["coarse"]["dynamic_object_0"][1]),
+    )
+    # All samples are the same collapsed ray: every row must agree and the
+    # two implementations must match.
+    np.testing.assert_allclose(
+        ref_prev, np.broadcast_to(ref_prev[..., :1, :], ref_prev.shape),
+        atol=1e-6, err_msg="reference samples did not collapse",
+    )
+    np.testing.assert_allclose(
+        repo_prev, ref_prev, atol=2e-4, rtol=2e-4, err_msg="previous positions"
+    )
+    np.testing.assert_allclose(
+        repo_next, ref_next, atol=2e-4, rtol=2e-4, err_msg="next positions"
+    )
+    # Discriminating power: the ray actually hits the player (non-trivial
+    # expected position) and the flow moved the matched point.
+    assert float(np.abs(ref_prev).max()) > 0.05
+    assert float(np.abs(ref_next - ref_prev).max()) > 1e-4
+
+
+def test_keypoint_consistency_parity(cpu_reference):
+    """forward_keypoint_consistency as a reference oracle
+    (environment_model.py:1363-1505). Skeleton-edge sampling is random on
+    both sides, so all 17 COCO keypoints are COINCIDENT: every sampled
+    skeleton point degenerates to the same pixel and the expected 3D
+    positions / confidences / opacities are deterministic."""
+    import torch
+
+    ref_model, repo_model, variables = _consistency_setup(cpu_reference)
+    inputs = _consistency_inputs()
+    (batch, T, cams, height, width, camera_rotations, camera_translations,
+     focals, object_rotations, object_translations, style,
+     deformation) = inputs
+
+    K = 17
+    keypoints = np.zeros((batch, T, cams, K, 3, 1), np.float32)
+    keypoints[..., 0, :] = 0.72  # row (on the player: rows 7.5-9.8 of 12)
+    keypoints[..., 1, :] = 0.5   # col
+    keypoints[..., 2, :] = 0.9   # confidence
+    keypoints_validity = np.ones((batch, T, cams, 1), bool)
+    boxes = np.broadcast_to(
+        np.asarray([0.4, 0.3, 0.6, 0.7], np.float32),
+        (batch, T, cams, 1, 4),
+    ).copy()
+    validity = np.ones((batch, T, cams, 1), bool)
+    observations = np.zeros((batch, T, cams, height, width, 3), np.float32)
+    frames = np.zeros((batch, T), np.int64)
+    samples = 8
+
+    with torch.no_grad():
+        ref_out = ref_model.forward_keypoint_consistency(
+            torch.from_numpy(np.moveaxis(observations, -1, -3)).contiguous(),
+            torch.from_numpy(camera_rotations),
+            torch.from_numpy(camera_translations),
+            torch.from_numpy(focals),
+            torch.from_numpy(np.moveaxis(boxes, -2, -1)).contiguous(),
+            torch.from_numpy(validity),
+            torch.from_numpy(frames),
+            torch.from_numpy(frames),
+            torch.zeros((batch,), dtype=torch.int64),
+            torch.from_numpy(np.moveaxis(style, -2, -1)).contiguous(),
+            torch.from_numpy(np.moveaxis(deformation, -2, -1)).contiguous(),
+            torch.from_numpy(np.moveaxis(object_rotations, -2, -1)).contiguous(),
+            torch.from_numpy(np.moveaxis(object_translations, -2, -1)).contiguous(),
+            torch.from_numpy(keypoints),
+            torch.from_numpy(keypoints_validity),
+            max_samples_per_image=samples,
+            perturb=False,
+        )
+
+    encoding = _repo_encoding(inputs)
+    repo_out = repo_model.apply(
+        variables,
+        encoding,
+        jnp.asarray(keypoints),
+        jnp.asarray(keypoints_validity),
+        (height, width),
+        samples,
+        perturb=False,
+        train=False,
+        method=repo_model.forward_keypoint_consistency,
+        rngs={"sampling": jax.random.PRNGKey(0)},
+    )
+
+    ref_entry = ref_out["coarse"]["dynamic_object_0"]
+    repo_entry = repo_out["coarse"]["dynamic_object_0"]
+    names = ("expected positions", "confidence", "opacity",
+             "sampled positions")
+    for idx, name in enumerate(names):
+        ref_value = ref_entry[idx].numpy()
+        repo_value = np.asarray(repo_entry[idx])
+        np.testing.assert_allclose(
+            repo_value, ref_value, atol=2e-4, rtol=2e-4, err_msg=name
+        )
+    # Discriminating power: confident samples, the ray hits the player.
+    assert float(ref_entry[1].numpy().max()) > 0.5
+    assert float(ref_entry[2].numpy().max()) > 0.05

@@ -438,7 +438,9 @@ def convert_environment_model(
     :param scene: config.SceneConfig describing the checkpoint's architecture.
     :return: (params, batch_stats) trees matching EnvironmentModel.init's.
     """
-    composer_p, composer_s = convert_object_composer(state, scene)
+    composer_p, composer_s = convert_object_composer(
+        state, scene, separate_fine=scene.separate_fine
+    )
     params: Dict = {"composer": composer_p}
     stats: Dict = {"composer": composer_s}
 

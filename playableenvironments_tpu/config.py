@@ -214,6 +214,12 @@ class SceneConfig:
     sampling_weights: Tuple[float, ...] = ()
     autoencoder: Optional[AutoencoderConfig] = None
     animation_models: Tuple[AnimationModelConfig, ...] = ()
+    # Independent fine-network instances for use_fine objects (the
+    # reference ALWAYS builds separate coarse/fine modules,
+    # object_composer.py:26-29); False shares the coarse parameters for the
+    # fine pass — this repo's cheaper default. Only meaningful when some
+    # object sets use_fine.
+    separate_fine: bool = False
 
     def __post_init__(self):
         n = len(self.object_models)
@@ -482,6 +488,18 @@ def scene_from_dict(model_d: Dict[str, Any], playable_d: Optional[Dict[str, Any]
         sampling_weights=tuple(model_d.get("sampling_weights", ())),
         autoencoder=ae,
         animation_models=animation,
+        # Reference-format configs with use_fine imply separate fine
+        # instances (that is the only fine the reference has); an explicit
+        # separate_fine key overrides.
+        separate_fine=bool(
+            model_d.get(
+                "separate_fine",
+                any(
+                    b.get("use_fine", False)
+                    for b in model_d["object_models"]
+                ),
+            )
+        ),
     )
 
 

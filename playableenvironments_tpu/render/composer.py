@@ -30,20 +30,27 @@ class SceneComposer(nn.Module):
     parameters (object_ids mapping, model/utils/object_ids_helper.py). The
     reference builds separate coarse/fine module instances per model
     (object_composer.py:26-29); here fine passes reuse the coarse parameters
-    unless `separate_fine` is set, matching the published configs which all
-    run with use_fine=False.
+    unless separate fine instances are requested — via the constructor or
+    `SceneConfig.separate_fine` (which reference-format configs with
+    use_fine set implicitly, config.scene_from_dict). The published configs
+    all run with use_fine=False.
     """
 
     scene: SceneConfig
-    separate_fine: bool = False
+    separate_fine: Optional[bool] = None
 
     def setup(self):
         self.object_ids = ObjectIds(self.scene)
+        self.uses_separate_fine = (
+            self.scene.separate_fine
+            if self.separate_fine is None
+            else self.separate_fine
+        )
         self.fields = [
             ObjectRadianceField(cfg, name=f"object_model_{i}")
             for i, cfg in enumerate(self.scene.object_models)
         ]
-        if self.separate_fine:
+        if self.uses_separate_fine:
             self.fields_fine = [
                 ObjectRadianceField(cfg, name=f"object_model_fine_{i}")
                 if cfg.use_fine
@@ -98,7 +105,9 @@ class SceneComposer(nn.Module):
             fine_field = None
             if cfg.use_fine:
                 fine_field = (
-                    self.fields_fine[model_idx] if self.separate_fine else field
+                    self.fields_fine[model_idx]
+                    if self.uses_separate_fine
+                    else field
                 )
 
             # World -> object frame (object_composer.py:517-518).

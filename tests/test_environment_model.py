@@ -415,3 +415,73 @@ def test_minecraft_structure_forward():
     feats = out["coarse"]["global"]["integrated_features"]
     assert feats.shape[-1] == 6
     assert bool(jnp.all(jnp.isfinite(feats)))
+
+
+def test_scene_level_separate_fine_builds_fine_instances():
+    """`SceneConfig.separate_fine` plumbs through EnvironmentModel: the
+    composer builds independent fine networks (reference semantics —
+    object_composer.py:26-29 always instantiates separate fine modules) and
+    reference-format configs with use_fine imply it."""
+    import dataclasses
+
+    from playableenvironments_tpu.config import scene_from_dict
+
+    # Reference-format dict with use_fine -> separate_fine implied.
+    model_d = {
+        "object_models": [
+            {
+                "bounding_box": [[-2.0, 2.0], [-2.0, 2.0], [-1.0, 0.0]],
+                "positions_count_coarse": 4,
+                "positions_count_fine": 3,
+                "use_fine": True,
+                "z_near_min": 0.1,
+                "z_far_max": 20.0,
+                "style_features": 8,
+                "deformation_features": 4,
+                "nerf_model": {
+                    "layers_width": 16,
+                    "backbone_layers_count": 2,
+                    "output_features": 3,
+                    "skip_layer_idx": 1,
+                    "position_encoder": {"octaves": 2},
+                },
+                "ray_bender_model": {
+                    "architecture": "model.nerf_models.zeroed_ray_bender_model"
+                },
+            }
+        ],
+        "object_parameters_encoder": [{"objects_count": 1}],
+        "object_encoders": [{"input_size": [8, 8], "style_features": 8,
+                             "deformation_features": 4}],
+        "static_object_models": 1,
+        "apply_activation": True,
+        "sampling_weights": [1.0],
+    }
+    parsed = scene_from_dict(model_d)
+    assert parsed.separate_fine is True
+    assert (
+        scene_from_dict(dict(model_d, separate_fine=False)).separate_fine
+        is False
+    )
+
+    # EnvironmentModel init grows the independent fine parameters.
+    scene = tiny_scene()
+    scene = dataclasses.replace(
+        scene,
+        separate_fine=True,
+        object_models=tuple(
+            dataclasses.replace(om, use_fine=True, positions_count_fine=3)
+            for om in scene.object_models
+        ),
+    )
+    model = EnvironmentModel(scene, focal_length_multiplier=1.0)
+    obs, cam_rot, cam_trans, focals, boxes, validity, frames = batch_inputs()
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1),
+         "alpha_noise": jax.random.PRNGKey(2)},
+        obs, cam_rot, cam_trans, focals, boxes, validity, frames,
+        samples_per_image=8,
+    )
+    composer_params = variables["params"]["composer"]
+    assert "object_model_fine_0" in composer_params
+    assert "object_model_fine_1" in composer_params

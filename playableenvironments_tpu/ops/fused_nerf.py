@@ -198,8 +198,9 @@ def fused_adain_nerf(
     block_points: int = 1024,
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Fused MLP evaluation over (N, 3) NORMALIZED positions (ray-major,
-    N = rays * samples); the positional encoding happens inside the kernel.
+    """Fused MLP evaluation over pre-encoded points (ray-major,
+    N = rays * samples; the positional encoding is a cheap fused XLA
+    producer outside — see _fused_kernel's docstring for why).
 
     Modulation arrays are PER RAY ((N / samples_per_ray, W)); the kernel
     broadcasts them over the samples axis in VMEM. Rays are padded to a

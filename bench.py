@@ -1306,7 +1306,14 @@ def main():
     signal.signal(signal.SIGTERM, _sigterm_net)
     atexit.register(_print_tail)
 
-    _HEADLINE = bench_render_headline(emit_line=True)
+    try:
+        _HEADLINE = bench_render_headline(emit_line=True)
+    except (Exception, SystemExit) as error:  # pragma: no cover
+        # A headline failure must not take the other ten lines with it.
+        print(json.dumps({
+            "metric": "nerf_render_rays_per_sec_per_chip_error", "value": 0,
+            "unit": str(error)[:200], "vs_baseline": 0,
+        }), flush=True)
     for name, fn, est_s, evict_after in schedule:
         _PENDING.remove(name)
         if _remaining_s() < est_s:

@@ -1257,12 +1257,19 @@ _HEADLINE = None
 def _print_tail(reason=None):
     """Print skip lines for everything still pending, then the headline
     (the driver parses the LAST line). Used by both the normal exit path
-    (atexit) and the SIGTERM net."""
+    (atexit) and the SIGTERM net. When the headline was never measured
+    (killed mid-measurement), the record still ends with an explicit
+    headline-named skip line so the parse lands on the right metric."""
     for name in list(_PENDING):
         _PENDING.remove(name)
         emit_skip(name, reason or "not reached")
     if _HEADLINE is not None:
         print(json.dumps(_HEADLINE), flush=True)
+    else:
+        emit_skip(
+            "nerf_render_rays_per_sec_per_chip",
+            reason or "headline never completed",
+        )
 
 
 def _sigterm_net(signum, frame):  # pragma: no cover - driver-timeout path

@@ -179,3 +179,19 @@ def test_difference_samples_remeasures_deflated_outliers():
         bench._timed_force = real_timer
     assert abs(seconds - 1.0 / 20.0) < 1e-12
     assert spread == 0.0
+
+
+def test_print_tail_with_unmeasured_headline(capsys, monkeypatch):
+    # Killed before the headline completed: the record still ends with an
+    # explicit headline-named skip line for the driver's last-line parse.
+    monkeypatch.setattr(bench, "_environment_tag", lambda: "test")
+    monkeypatch.setattr(bench, "_HEADLINE", None)
+    monkeypatch.setattr(bench, "_PENDING", ["a_bench"])
+    bench._print_tail(reason="unit test")
+    lines = [
+        json.loads(line)
+        for line in capsys.readouterr().out.strip().splitlines()
+    ]
+    assert [l["metric"] for l in lines] == [
+        "a_bench_skipped", "nerf_render_rays_per_sec_per_chip_skipped",
+    ]

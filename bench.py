@@ -611,9 +611,12 @@ def bench_interactive_fps():
         scene, variables, encoding, strides, height, width
     )
 
-    # Same jitter math as the render chain above: ~5 ms frames need ~40
-    # frames in the short chain to keep harness jitter under a few percent.
-    loop_iters = max(iters, 8)
+    # Same jitter math as the render chain above, doubled again: a 40-frame
+    # short chain (~200 ms) still let moderate tunnel jitter print a 36%
+    # spread around a stable median; 80/240-frame chains put ~10x the work
+    # behind the same jitter. Chain length is a runtime argument — the
+    # extra frames cost ~3 s of runtime and no compile.
+    loop_iters = max(2 * iters, 8)
     np.asarray(loop(variables, playable_vars, encoding, loop_iters))  # compile
     np.asarray(loop(variables, playable_vars, encoding, 3 * loop_iters))
     loop_s, loop_spread = _difference_samples(

@@ -1077,16 +1077,22 @@ def bench_interactive_soak():
 
     frame_ms = []
     for _ in range(chunks):
-        start = time.perf_counter()
+        # Chunk metric = MEDIAN of its calls' per-frame times: a tunnel
+        # stall landing in one ~360 ms call inflated a whole-chunk total by
+        # 30%+ and tripped the steady assert on a perfectly healthy loop; a
+        # real leak/fragmentation slows EVERY call of later chunks and
+        # still moves the median.
+        call_ms = []
         for call in range(calls_per_chunk):
+            start = time.perf_counter()
             checksum = np.asarray(
                 loop(variables, playable_vars, encoding, frames_per_call)
             )
+            call_ms.append(
+                (time.perf_counter() - start) / frames_per_call * 1e3
+            )
             assert np.isfinite(checksum).all(), "non-finite frames in soak"
-        frame_ms.append(
-            (time.perf_counter() - start) / (calls_per_chunk * frames_per_call)
-            * 1e3
-        )
+        frame_ms.append(_median_spread(call_ms)[0])
     dev1, host1 = _memory_snapshot()
 
     median_ms, spread = _median_spread(frame_ms)
